@@ -1,0 +1,146 @@
+"""Driver-contract query inventory (SURVEY.md §2).
+
+Every implemented operator is registered here twice:
+  * ``QUERIES[name](spark, sf_dir) -> DataFrame`` — the Spark plan
+  * ``ORACLE_SQL[name]`` — equivalent ANSI SQL for the DuckDB oracle
+    (omitted for non-SQL-expressible kernels -> rows-only check)
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before value-hashing). Float aggregates are rounded on
+both sides so order-of-summation noise can't break the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.udfs import ac_count_udf, ac_spans_udf
+from .names import DEFAULT_FILTER_NAMES, occurrences_sql, presence_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# The reference core: broadcast Aho-Corasick multi-pattern match
+# (SURVEY.md §2.2 ql_ac_match; reference multifast ac_automata_search
+# [RECALL]). Oracle expressible in SQL because the fixture names have no
+# proper border: all-occurrence count == non-overlapping replace count.
+# --------------------------------------------------------------------------
+
+_NAMES = DEFAULT_FILTER_NAMES.names
+_PRESENCE = presence_sql(_NAMES)
+_OCCURS = occurrences_sql(_NAMES)
+
+
+def _with_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ac = DEFAULT_FILTER_NAMES.compile()
+    bc = spark.sparkContext.broadcast(ac)
+    docs = load(spark, sf_dir, "documents")
+    return docs.withColumn("m", ac_count_udf(bc)(F.col("text")))
+
+
+@register(
+    "ql_ac_match",
+    f"""
+    SELECT doc_id,
+           {_PRESENCE} AS patterns_matched,
+           {_OCCURS} AS total_hits
+    FROM documents
+    """,
+)
+def ql_ac_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_match_counts(spark, sf_dir).select(
+        "doc_id",
+        F.col("m.patterns_matched").cast("bigint").alias("patterns_matched"),
+        F.col("m.total_hits").cast("bigint").alias("total_hits"),
+    )
+
+
+@register(
+    "flagship_filter_agg",
+    f"""
+    WITH m AS (
+      SELECT lang,
+             {_PRESENCE} AS patterns_matched,
+             {_OCCURS} AS total_hits
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(patterns_matched) AS BIGINT) AS pats,
+           CAST(sum(total_hits) AS BIGINT) AS hits
+    FROM m WHERE patterns_matched > 0
+    GROUP BY lang
+    """,
+)
+def flagship_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole job on Spark: scan -> multi-pattern match ->
+    filter to matching docs -> counters, aggregated per language."""
+    m = _with_match_counts(spark, sf_dir)
+    return (
+        m.filter(F.col("m.patterns_matched") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("m.patterns_matched").cast("bigint").alias("pats"),
+            F.sum("m.total_hits").cast("bigint").alias("hits"),
+        )
+    )
+
+
+@register("ql_ac_spans")  # offsets: rows-only driver check; pytest checks parity
+def ql_ac_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Rating-annotation analog: every (target, name, begin, end) hit."""
+    ac = DEFAULT_FILTER_NAMES.compile()
+    bc_ac = spark.sparkContext.broadcast(ac)
+    bc_fn = spark.sparkContext.broadcast(DEFAULT_FILTER_NAMES)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", ac_spans_udf(bc_ac, bc_fn)(F.col("text")).alias("matches")
+        )
+        .select("doc_id", F.explode("matches").alias("hit"))
+        .select(
+            "doc_id",
+            F.col("hit.target_id").alias("target_id"),
+            F.col("hit.name").alias("name"),
+            F.col("hit.begin").alias("begin"),
+            F.col("hit.end").alias("end"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract surface
+# --------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on sf0.001 (driver smoke check)."""
+    return flagship_filter_agg(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE_SQL)
