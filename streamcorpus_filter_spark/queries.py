@@ -129,6 +129,12 @@ def ql_ac_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# inventory modules register themselves on import (registry must exist first)
+# --------------------------------------------------------------------------
+
+from .inventory import relational  # noqa: E402,F401
+
+# --------------------------------------------------------------------------
 # driver contract surface
 # --------------------------------------------------------------------------
 
