@@ -1,0 +1,400 @@
+"""Quality-stage queries over the driver fixture tables (SURVEY.md §2.2).
+
+The pages-corpus pipeline itself is verified by the L2 oracle-parity tests
+(tests/test_quality_parity.py); these registrations give the DRIVER a
+per-operator checkable surface on the ten fixture tables:
+
+  SQL-oracled : ql_gopher_rules, ql_keep_drop (structural cascade),
+                ql_repetition (top-bigram), ql_extract_text (round-trip),
+                ql_pii_scrub (planted emails), ql_toxicity_scrub (planted
+                term), ql_dedup_exact, ql_metrics_rollup
+  rows-only   : ql_langid, ql_perplexity (model outputs are not
+                SQL-expressible), ql_pipeline_full (end-to-end pipeline on
+                the deterministic synthetic pages corpus)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernels import rules
+from ..operators.quality import with_structural_signals
+from ..queries import load, register
+
+# ---------------------------------------------------------------- SQL spec
+# DuckDB expressions implementing the same rules.py signal spec for the
+# single-line, single-space documents.text fixture.
+
+_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_NW = f"greatest(len({_WORDS}), 1)"
+_MEAN_WL = (
+    f"CAST(list_aggregate(list_transform({_WORDS}, w -> length(w)), 'sum') AS DOUBLE)"
+    f" / {_NW}"
+)
+_ALPHA = (
+    f"CAST(len(list_filter({_WORDS}, "
+    "w -> regexp_matches(w, '[a-zA-Z\\x{00c0}-\\x{024f}\\x{4e00}-\\x{9fff}]')"
+    f")) AS DOUBLE) / {_NW}"
+)
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in sorted(rules.STOPWORD_SET)) + "]"
+_STOPS = f"len(list_filter({_WORDS}, w -> list_contains({_STOPLIST}, lower(w))))"
+
+_GOPHER_KEEP = (
+    f"(len({_WORDS}) BETWEEN {rules.MIN_WORDS} AND {rules.MAX_WORDS}"
+    f" AND {_MEAN_WL} BETWEEN {rules.MIN_MEAN_WORD_LEN} AND {rules.MAX_MEAN_WORD_LEN}"
+    f" AND {_ALPHA} >= {rules.MIN_ALPHA_WORD_FRAC}"
+    f" AND {_STOPS} >= {rules.MIN_STOPWORDS})"
+)
+
+
+def _signals(spark: SparkSession, sf: str) -> DataFrame:
+    return with_structural_signals(load(spark, sf, "documents"))
+
+
+@register(
+    "ql_gopher_rules",
+    f"""
+    SELECT doc_id,
+           CAST(len({_WORDS}) AS BIGINT) AS n_words,
+           round({_MEAN_WL}, 6) AS mean_word_len,
+           round({_ALPHA}, 6) AS alpha_frac,
+           CAST({_STOPS} AS BIGINT) AS n_stopwords,
+           {_GOPHER_KEEP} AS gopher_keep
+    FROM documents
+    """,
+)
+def ql_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher heuristics via pure built-ins (no UDF) — SURVEY.md §2.2."""
+    r = rules
+    return _signals(spark, sf).select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "n_stopwords",
+        (
+            F.col("n_words").between(r.MIN_WORDS, r.MAX_WORDS)
+            & F.col("mean_word_len").between(r.MIN_MEAN_WORD_LEN, r.MAX_MEAN_WORD_LEN)
+            & (F.col("alpha_frac") >= r.MIN_ALPHA_WORD_FRAC)
+            & (F.col("n_stopwords") >= r.MIN_STOPWORDS)
+        ).alias("gopher_keep"),
+    )
+
+
+@register(
+    "ql_keep_drop",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN len({_WORDS}) < {rules.MIN_WORDS} THEN 'gopher_short'
+             WHEN len({_WORDS}) > {rules.MAX_WORDS} THEN 'gopher_long'
+             WHEN NOT ({_MEAN_WL} BETWEEN {rules.MIN_MEAN_WORD_LEN} AND {rules.MAX_MEAN_WORD_LEN})
+               THEN 'gopher_word_len'
+             WHEN {_ALPHA} < {rules.MIN_ALPHA_WORD_FRAC} THEN 'gopher_alpha'
+             WHEN {_STOPS} < {rules.MIN_STOPWORDS} THEN 'gopher_stopwords'
+           END AS drop_reason,
+           CASE
+             WHEN len({_WORDS}) < {rules.MIN_WORDS} THEN false
+             WHEN len({_WORDS}) > {rules.MAX_WORDS} THEN false
+             WHEN NOT ({_MEAN_WL} BETWEEN {rules.MIN_MEAN_WORD_LEN} AND {rules.MAX_MEAN_WORD_LEN})
+               THEN false
+             WHEN {_ALPHA} < {rules.MIN_ALPHA_WORD_FRAC} THEN false
+             WHEN {_STOPS} < {rules.MIN_STOPWORDS} THEN false
+             ELSE true
+           END AS keep
+    FROM documents
+    """,
+)
+def ql_keep_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """First-drop-wins cascade (structural subset on this fixture)."""
+    r = rules
+    reason = (
+        F.when(F.col("n_words") < r.MIN_WORDS, "gopher_short")
+        .when(F.col("n_words") > r.MAX_WORDS, "gopher_long")
+        .when(
+            ~F.col("mean_word_len").between(r.MIN_MEAN_WORD_LEN, r.MAX_MEAN_WORD_LEN),
+            "gopher_word_len",
+        )
+        .when(F.col("alpha_frac") < r.MIN_ALPHA_WORD_FRAC, "gopher_alpha")
+        .when(F.col("n_stopwords") < r.MIN_STOPWORDS, "gopher_stopwords")
+    )
+    return _signals(spark, sf).select(
+        "doc_id", reason.alias("drop_reason"), reason.isNull().alias("keep")
+    )
+
+
+@register(
+    "ql_repetition",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    grams AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+      FROM w, UNNEST(range(1, len(words))) AS r(i)
+    ),
+    freq AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    top AS (SELECT doc_id, max(c) AS top2 FROM freq GROUP BY doc_id)
+    SELECT w.doc_id,
+           round(2.0 * coalesce(top.top2, 0) / greatest(len(w.words), 1), 6)
+             AS top2gram_frac
+    FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+    """,
+)
+def ql_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition signal: top word-bigram coverage (JVM HOFs, no UDF)."""
+    return _signals(spark, sf).select(
+        "doc_id", F.round("top2gram_frac", 6).alias("top2gram_frac")
+    )
+
+
+@register(
+    "ql_extract_text",
+    "SELECT doc_id, text AS extracted FROM documents",
+)
+def ql_extract_text(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML round-trip through the canonical extraction kernel: wrap the
+    fixture text in real html (with script/style/comment junk), extract,
+    and the oracle is the original text."""
+    from ..operators.quality import extract_fn
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>.x { color: red; }</style></head><body><!-- c --><p>"),
+            F.col("text"),
+            F.lit("</p><script>var cfg = {a: 1};</script></body></html>"),
+        )
+        .cast("binary")
+        .alias("html"),
+    )
+    out = d.mapInPandas(
+        extract_fn(html_col="html", out_col="extracted"),
+        schema="doc_id bigint, html binary, extracted string",
+    )
+    return out.select("doc_id", "extracted")
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
+
+
+@register(
+    "ql_pii_scrub",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact ' || source || '@corp.example.com or '
+                  || source || '.admin@mail.example.org' AS orig
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(orig, '{_EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed,
+           CAST(length(orig)
+                - length(regexp_replace(orig, '{_EMAIL_RE}', '<EMAIL>', 'g'))
+                + 7 * len(regexp_extract_all(orig, '{_EMAIL_RE}')) AS BIGINT)
+             AS bytes_scrubbed,
+           CAST(len(regexp_extract_all(orig, '{_EMAIL_RE}')) AS INT) AS pii_hits
+    FROM t
+    """,
+)
+def ql_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub via the canonical ordered kernel, on fixture text with
+    planted emails; the DuckDB oracle replays the email rule in RE2."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.scrub import scrub_pii
+
+        for pdf in batches:
+            outs = [scrub_pii(t) for t in pdf["orig"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "scrubbed": [o[0] for o in outs],
+                    "bytes_scrubbed": pd.array([o[1] for o in outs], dtype="int64"),
+                    "pii_hits": pd.array([o[2] for o in outs], dtype="int32"),
+                }
+            )
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact "), F.col("source"),
+            F.lit("@corp.example.com or "), F.col("source"),
+            F.lit(".admin@mail.example.org"),
+        ).alias("orig"),
+    )
+    return d.mapInPandas(
+        fn, schema="doc_id bigint, scrubbed string, bytes_scrubbed bigint, pii_hits int"
+    )
+
+
+@register(
+    "ql_toxicity_scrub",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' <TOX>' ELSE text END AS masked,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS tox_hits
+    FROM documents
+    """,
+)
+def ql_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Toxicity masking via the broadcast lexicon automaton on fixture text
+    with one planted term on every 7th doc."""
+    from ..kernels.scrub import boundary_ok, mask_spans
+    from ..models import toxic_automaton
+
+    bc = spark.sparkContext.broadcast(toxic_automaton())
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = bc.value
+        lens = ac.pat_lens
+        for pdf in batches:
+            texts = list(pdf["orig"])
+            enc = [t.encode("utf-8").lower() for t in texts]
+            rows, begins, pids = ac.search_batch(enc)
+            spans: list[list[tuple[int, int]]] = [[] for _ in texts]
+            for r, b, p in zip(rows.tolist(), begins.tolist(), pids.tolist()):
+                e = b + int(lens[p])
+                if boundary_ok(enc[r], b, e):
+                    spans[r].append((b, e))
+            masked = [mask_spans(t, s) for t, s in zip(texts, spans)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "masked": [m[0] for m in masked],
+                    "tox_hits": pd.array([len(s) for s in spans], dtype="int32"),
+                }
+            )
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" blortug")))
+        .otherwise(F.col("text"))
+        .alias("orig"),
+    )
+    return d.mapInPandas(fn, schema="doc_id bigint, masked string, tox_hits int")
+
+
+@register(
+    "ql_dedup_exact",
+    """
+    SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def ql_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keep-earliest (the url/warc_ts dedup shape on the
+    fixture's (user_id, event_type) key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "ql_metrics_rollup",
+    f"""
+    SELECT source,
+           count(*) AS docs_seen,
+           CAST(sum(CASE WHEN {_GOPHER_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(sum(n_chars) AS BIGINT) AS bytes_seen
+    FROM documents GROUP BY source
+    """,
+)
+def ql_metrics_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition-style counter rollup (BASELINE.json:6 counters) on the
+    fixture's source key."""
+    r = rules
+    keep = (
+        F.col("n_words").between(r.MIN_WORDS, r.MAX_WORDS)
+        & F.col("mean_word_len").between(r.MIN_MEAN_WORD_LEN, r.MAX_MEAN_WORD_LEN)
+        & (F.col("alpha_frac") >= r.MIN_ALPHA_WORD_FRAC)
+        & (F.col("n_stopwords") >= r.MIN_STOPWORDS)
+    )
+    return (
+        _signals(spark, sf)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_seen"),
+            F.sum(keep.cast("long")).alias("docs_kept"),
+            F.sum("n_chars").alias("bytes_seen"),
+        )
+    )
+
+
+# ------------------------------------------------------------- rows-only
+
+
+@register("ql_langid")
+def ql_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style langid over fixture text (model output; rows-only)."""
+    from ..models import default_langid
+
+    bc = spark.sparkContext.broadcast(default_langid())
+
+    @F.pandas_udf("struct<lang_pred: string, lang_conf: double>")
+    def score(s: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        enc = [t.lower().encode("utf-8") if isinstance(t, str) else b"" for t in s]
+        pred, conf = m.score_batch(enc)
+        return pd.DataFrame(
+            {"lang_pred": [m.langs[i] for i in pred], "lang_conf": conf}
+        )
+
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", score(F.col("text")).alias("s")).select(
+        "doc_id", "s.lang_pred", "s.lang_conf"
+    )
+
+
+@register("ql_perplexity")
+def ql_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-trigram LM perplexity over fixture text (rows-only)."""
+    from ..models import default_charlm
+
+    bc = spark.sparkContext.broadcast(default_charlm())
+
+    @F.pandas_udf("double")
+    def ppl(s: pd.Series) -> pd.Series:
+        lm = bc.value
+        enc = [t.lower().encode("utf-8") if isinstance(t, str) else b"" for t in s]
+        return pd.Series(lm.ppl_batch(enc))
+
+    return load(spark, sf, "documents").select(
+        "doc_id", F.round(ppl(F.col("text")), 6).alias("ppl")
+    )
+
+
+@register("ql_pipeline_full")
+def ql_pipeline_full(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end pipeline on the deterministic synthetic pages corpus:
+    drop-reason histogram + scrub/match counters (rows-only; the L2 pytest
+    suite holds the strong per-row parity checks)."""
+    from ..operators.quality import run_quality_pipeline
+    from ..synth import make_pages
+
+    pages = make_pages(600, seed=42)
+    df = spark.createDataFrame(
+        list(zip(pages["url"], pages["warc_ts"], pages["html"], pages["text"], pages["lang"])),
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = run_quality_pipeline(spark, df, extract_from_html=True)
+    return (
+        out.groupBy(F.coalesce("drop_reason", F.lit("KEEP")).alias("verdict"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.coalesce("patterns_matched", F.lit(0))).alias("patterns"),
+            F.sum(F.coalesce("bytes_scrubbed", F.lit(0))).alias("bytes_scrubbed"),
+        )
+        .orderBy("verdict")
+    )
