@@ -1,0 +1,108 @@
+"""Dedup/similarity operator properties beyond the DuckDB value checks:
+LSH candidate recall vs exact pairs, SimHash near-dup behavior, ANN
+recall@10 of the LSH index vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from streamcorpus_filter_spark import queries as q
+
+    return q
+
+
+def test_minhash_lsh_recall(spark, reg):
+    exact = {
+        (r.a, r.b)
+        for r in reg.QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+        if r.jaccard >= 0.35  # LSH (8 bands x 4 rows) ~certain above this
+    }
+    lsh = {(r.a, r.b) for r in reg.QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()}
+    assert exact, "fixture should contain planted near-dup twins"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} exact pairs"
+
+
+def test_simhash_finds_planted_twins(spark, reg):
+    pairs = reg.QUERIES["dedup_simhash"](spark, SF_SMALL).collect()
+    twin_pairs = [r for r in pairs if r.b - r.a == 1_000_000]
+    assert len(twin_pairs) > 0
+    # hamming distance of twins must be small by construction
+    assert all(r.hamming <= 6 for r in pairs)
+
+
+def test_lsh_ann_recall_at_10(spark, reg):
+    brute = reg.QUERIES["sim_topk_bruteforce"](spark, SF_SMALL).collect()
+    lsh = reg.QUERIES["sim_lsh_bucketed"](spark, SF_SMALL).collect()
+    top_brute = {}
+    for r in brute:
+        top_brute.setdefault(r.query_id, set()).add(r.nn_id)
+    top_lsh = {}
+    for r in lsh:
+        top_lsh.setdefault(r.query_id, set()).add(r.nn_id)
+    recalls = [
+        len(top_brute[q] & top_lsh.get(q, set())) / len(top_brute[q])
+        for q in top_brute
+    ]
+    # random-hyperplane LSH on random gaussian vectors: modest but real
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_rolling_fp_stable_under_suffix_edit(spark, reg):
+    # winnowing property: min rolling hash usually survives suffix trims
+    from streamcorpus_filter_spark.queries import load
+    import pyspark.sql.functions as F
+
+    df = reg.QUERIES["txt_rolling_fp"](spark, SF_SMALL)
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    trimmed = docs.select(
+        "doc_id", F.expr("substring(text, 1, greatest(length(text) - 20, 16))").alias("text")
+    )
+    from streamcorpus_filter_spark.inventory.dedup import txt_rolling_fp  # noqa: F401
+
+    fp1 = {r.doc_id: r.min_fp for r in df.collect()}
+    # rebuild the same operator over the trimmed text
+    import streamcorpus_filter_spark.inventory.dedup as dd
+
+    fn_df = trimmed.mapInPandas(
+        _rolling_fn(), schema="doc_id bigint, min_fp bigint"
+    )
+    fp2 = {r.doc_id: r.min_fp for r in fn_df.collect()}
+    same = sum(1 for k in fp1 if fp1[k] == fp2.get(k))
+    assert same / len(fp1) >= 0.7
+
+
+def _rolling_fn():
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        B, W = 257, 16
+        mod = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for pdf in batches:
+            out = []
+            for t in pdf["text"]:
+                data = np.frombuffer(
+                    t.encode("utf-8") if isinstance(t, str) else b"", dtype=np.uint8
+                ).astype(np.uint64)
+                if data.size < W:
+                    out.append(0)
+                    continue
+                h = np.zeros(data.size - W + 1, dtype=np.uint64)
+                acc = np.uint64(0)
+                powW = np.uint64(pow(B, W, 1 << 64))
+                for i in range(data.size):
+                    acc = (acc * np.uint64(B) + data[i]) & mod
+                    if i >= W:
+                        acc = (acc - data[i - W] * powW) & mod
+                    if i >= W - 1:
+                        h[i - W + 1] = acc
+                out.append(int(h.min().astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "min_fp": pd.array(out, dtype="int64")})
+
+    return fn
