@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set (the engine's load-bearing paths, SURVEY.md §2):
+  * ``pipeline``        — the full quality pipeline (extract -> structural
+                          rules -> fused langid/ppl/AC-match/scrub fence ->
+                          keep/drop) over the deterministic synthetic pages
+                          corpus in the input_hint shape
+                          (url, warc_ts, html, text, lang)
+  * ``flagship``        — reference-core job: broadcast AC multi-pattern
+                          match -> filter -> per-lang counters (documents)
+  * ``dedup_minhash``   — MinHash+LSH near-dup candidates (documents)
+  * ``sim_topk``        — brute-force cosine top-k (embeddings)
+  * ``relational``      — shuffle-heavy join+agg (lineitem ⋈ orders)
+  * ``skew_salted``     — two-phase salted hot-key aggregation (events)
+
+Every query is forced end-to-end with the noop sink (full materialization,
+no driver collect). Extra JSON keys report pipeline docs/sec so scaling
+runs (``--cores 8`` vs ``--cores 32``) can compute efficiency; see
+BENCH/run_scaling.py which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+PAGES_SEED = 42
+# pages-per-sf: sf0.1 -> 12k synthetic pages (~35 MB text+html)
+PAGES_PER_SF = 120_000
+
+
+def sf_of(sf_dir: str) -> float:
+    name = pathlib.Path(sf_dir).name  # "sf0.1"
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def pages_parquet(sf: float) -> str:
+    """Deterministic synthetic pages corpus, cached under .cache/ so the
+    generation cost (single-threaded Python) is paid once per (n, seed)."""
+    n = max(200, int(PAGES_PER_SF * sf))
+    cache = REPO / ".cache"
+    cache.mkdir(exist_ok=True)
+    path = cache / f"pages_n{n}_s{PAGES_SEED}.parquet"
+    if not path.exists():
+        from streamcorpus_filter_spark.synth import write_pages_parquet
+
+        tmp = path.with_suffix(".tmp")
+        write_pages_parquet(str(tmp), n, seed=PAGES_SEED)
+        tmp.rename(path)
+    return str(path)
+
+
+def build_spark(cores: int, app: str = "bench"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default="", help="comma list; default all")
+    ap.add_argument("--pages", type=int, default=0,
+                    help="override synthetic pages corpus size (scaling runs)")
+    args = ap.parse_args()
+
+    sf_dir, sf = args.sf_dir, sf_of(args.sf_dir)
+    global PAGES_PER_SF
+    if args.pages:
+        PAGES_PER_SF = int(args.pages / sf)
+    pages_path = pages_parquet(sf)
+
+    import pyspark.sql.functions as F
+
+    from streamcorpus_filter_spark import queries as reg
+    from streamcorpus_filter_spark.operators.quality import run_quality_pipeline
+
+    spark = build_spark(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_pages = None
+
+    def q_pipeline():
+        nonlocal n_pages
+        pages = spark.read.parquet(pages_path)
+        if n_pages is None:
+            n_pages = pages.count()
+        out = run_quality_pipeline(spark, pages, extract_from_html=True)
+        force(out)
+
+    def q_flagship():
+        force(reg.QUERIES["flagship_filter_agg"](spark, sf_dir))
+
+    def q_dedup_minhash():
+        force(reg.QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+
+    def q_sim_topk():
+        force(reg.QUERIES["sim_topk_bruteforce"](spark, sf_dir))
+
+    def q_relational():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority", "l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("l_extendedprice").alias("rev"),
+                F.avg("l_discount").alias("avg_disc"),
+            )
+        )
+        force(j)
+
+    def q_skew_salted():
+        force(reg.QUERIES["skew_salted_agg"](spark, sf_dir))
+
+    bench = {
+        "pipeline": q_pipeline,
+        "flagship": q_flagship,
+        "dedup_minhash": q_dedup_minhash,
+        "sim_topk": q_sim_topk,
+        "relational": q_relational,
+        "skew_salted": q_skew_salted,
+    }
+    selected = [s for s in args.queries.split(",") if s] or list(bench)
+
+    # warm the JVM + python workers + broadcasts once so timed numbers are
+    # steady-state throughput, not worker cold-start (a real cluster job
+    # amortizes startup over hours)
+    spark.range(1000).select(F.sum("id")).collect()
+    if "pipeline" in selected:
+        warm = spark.read.parquet(pages_path).limit(256)
+        force(run_quality_pipeline(spark, warm, extract_from_html=True))
+
+    times: dict[str, float] = {}
+    for name in selected:
+        t0 = time.perf_counter()
+        bench[name]()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cores": args.cores,
+    }
+    if "pipeline" in times and n_pages:
+        out["pipeline_docs"] = n_pages
+        out["pipeline_docs_per_sec"] = round(n_pages / times["pipeline"], 1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,9 +41,18 @@ def _count_occ(col: Column, lit: str) -> Column:
     return (F.length(col) - F.length(F.replace(col, F.lit(lit), F.lit("")))) / len(lit)
 
 
-def with_structural_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_structural_signals(
+    df: DataFrame, text_col: str = "text", lazy_top2: bool = False
+) -> DataFrame:
     """Adds every rules.py structural signal as a column — built-ins only,
-    no Python fence. One pass; the token/line arrays are named subexprs."""
+    no Python fence. One pass; the token/line arrays are named subexprs.
+
+    ``lazy_top2=True`` computes the expensive top-bigram signal only for
+    rows that pass every cheaper cascade rule (CaseWhen evaluates lazily),
+    reporting 0.0 otherwise — the keep/drop cascade is unchanged because
+    ``rep_top2gram`` is the last rule, but rows already doomed by a cheap
+    rule skip the O(n log n) sort+scan. Use in the pipeline; keep False
+    when the raw signal value itself is the query output."""
     c = F.col(text_col)
     toks = _tokens(c)
     lns = _lines(c)
@@ -66,8 +75,11 @@ def with_structural_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(lns, lambda x: x.endswith("...") | x.endswith("…"))
     )
     alpha = F.size(F.filter(toks, lambda x: x.rlike(r"\p{L}")))
-    stop_arr = F.array(*[F.lit(w) for w in sorted(rules.STOPWORD_SET)])
-    stops = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    # literal IN-list folds to Catalyst InSet (hash lookup); an F.array of
+    # literals would be rebuilt per element inside the lambda (~30x slower)
+    stops = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*sorted(rules.STOPWORD_SET)))
+    )
     n_terminal = sum(
         [_count_occ(c, ch) for ch in rules.TERMINAL_PUNCT], F.lit(0).cast("double")
     )
@@ -97,7 +109,7 @@ def with_structural_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc: acc.best,
     )
 
-    return (
+    out = (
         df.withColumn("n_words", n_words.cast("long"))
         .withColumn("mean_word_len", sum_len / nw)
         .withColumn(
@@ -115,14 +127,18 @@ def with_structural_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dup_line_frac",
             (F.size(lns) - F.size(F.array_distinct(lns))) / n_lines,
         )
-        .withColumn("top2gram_frac", F.lit(2.0) * top2 / nw)
-        .drop("_toks", "_lns")
     )
+    top2_frac = F.lit(2.0) * top2 / nw
+    if lazy_top2:
+        top2_frac = F.when(_pre_top2_reason().isNull(), top2_frac).otherwise(
+            F.lit(0.0)
+        )
+    return out.withColumn("top2gram_frac", top2_frac).drop("_toks", "_lns")
 
 
-def structural_reason() -> Column:
-    """First-drop-wins cascade over the structural signal columns —
-    mirrors rules.structural_drop_reason (incl. rep_top2gram)."""
+def _pre_top2_reason() -> Column:
+    """Cascade rules cheaper than rep_top2gram, first-drop-wins (evaluated
+    over the signal columns added by with_structural_signals)."""
     r = rules
     return (
         F.when(F.col("n_words") < r.MIN_WORDS, "gopher_short")
@@ -141,7 +157,15 @@ def structural_reason() -> Column:
         .when(F.col("n_terminal") < r.MIN_TERMINAL_PUNCT, "c4_sentences")
         .when(F.col("line_punct_frac") < r.MIN_LINE_PUNCT_FRAC, "c4_line_punct")
         .when(F.col("dup_line_frac") > r.MAX_DUP_LINE_FRAC, "rep_dup_lines")
-        .when(F.col("top2gram_frac") > r.MAX_TOP2GRAM_FRAC, "rep_top2gram")
+    )
+
+
+def structural_reason() -> Column:
+    """First-drop-wins cascade over the structural signal columns —
+    mirrors rules.structural_drop_reason (incl. rep_top2gram)."""
+    return F.coalesce(
+        _pre_top2_reason(),
+        F.when(F.col("top2gram_frac") > rules.MAX_TOP2GRAM_FRAC, "rep_top2gram"),
     )
 
 
@@ -153,64 +177,125 @@ SIGNAL_COLS = [
 
 # ------------------------------------------------------------- fused kernel
 
-FUSED_COLS = (
-    "lang_pred string, lang_conf double, ppl double, "
-    "patterns_matched int, total_hits int, scrubbed_text string, "
-    "bytes_scrubbed long, tox_hits int"
+FUSED_STRUCT = (
+    "struct<sreason: string, lang_pred: string, lang_conf: double, "
+    "ppl: double, patterns_matched: int, total_hits: int, "
+    "scrubbed_text: string, bytes_scrubbed: bigint, tox_hits: int>"
 )
 
 
-def fused_quality_fn(bc_langid, bc_lm, bc_ent_ac, bc_tox_ac, text_col: str = "text"):
-    """One mapInPandas pass computing langid + perplexity + entity match +
-    PII scrub + toxicity mask. Models come from broadcasts (deserialized
-    once per worker); all scanning is the batch-vectorized numpy kernels."""
+def fused_pipeline_udf(bc_langid, bc_lm, bc_ent_ac, bc_tox_ac, from_html: bool):
+    """THE pipeline fence: one scalar pandas UDF (html|text) -> struct with
+    [extract ->] structural rules -> langid + perplexity + entity match +
+    PII scrub + toxicity mask.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Why one Python fence and not JVM built-ins for the structural rules:
+    measured on this corpus, the equivalent higher-order-function
+    expressions (split/filter/aggregate lambdas — interpreted, outside
+    WholeStageCodegen, and re-inlined per cascade rule by projection
+    collapse) cost >10x the vectorized kernel below (~0.7 ms/doc), and the
+    text column would cross the Arrow boundary anyway for the
+    match/scrub stages. Only this one column crosses; structurally dropped
+    rows short-circuit inside the kernel (null model fields, sreason set).
+    Models come from broadcasts, deserialized once per worker; the
+    JVM-built-in structural implementation lives on in
+    with_structural_signals() and is oracle-checked by the ql_* inventory
+    queries (inventory/quality.py).
+    """
+
+    @F.pandas_udf(FUSED_STRUCT)
+    def fn(col: pd.Series) -> pd.DataFrame:
         langid = bc_langid.value
         lm = bc_lm.value
         ent_ac: ACAutomaton = bc_ent_ac.value
         tox_ac: ACAutomaton = bc_tox_ac.value
-        for pdf in batches:
-            texts = [t if isinstance(t, str) else "" for t in pdf[text_col]]
-            enc = [t.lower().encode("utf-8") for t in texts]
-            pred_ix, conf = langid.score_batch(enc)
-            ppl = lm.ppl_batch(enc)
-            distinct, total = ent_ac.count_batch(enc)
 
-            scrubbed: list[str | None] = []
-            nbytes: list[int] = []
-            tox_n: list[int] = []
-            # PII scrub (canonical kernel), then toxicity mask on the
-            # scrubbed text via the broadcast automaton (ASCII-lower bytes)
-            pii_out = [scrub_pii(t) for t in texts]
-            tox_input = [s.encode("utf-8").lower() for s, _b, _h in pii_out]
-            rows, begins, pids = tox_ac.search_batch(tox_input)
-            spans_per_doc: list[list[tuple[int, int]]] = [[] for _ in texts]
-            lens = tox_ac.pat_lens
-            for r, b, p in zip(rows.tolist(), begins.tolist(), pids.tolist()):
-                e = b + int(lens[p])
-                if boundary_ok(tox_input[r], b, e):
-                    spans_per_doc[r].append((b, e))
-            for (s_text, pii_b, _h), spans in zip(pii_out, spans_per_doc):
-                if len(spans) >= rules.TOX_DROP_HITS:
-                    scrubbed.append(None)  # dropped as toxic downstream
-                    nbytes.append(0)
-                else:
-                    masked, tox_b = mask_spans(s_text, spans)
-                    scrubbed.append(masked)
-                    nbytes.append(pii_b + tox_b)
-                tox_n.append(len(spans))
+        if from_html:
+            texts_all = [
+                extract_text(h) if h is not None else "" for h in col
+            ]
+        else:
+            texts_all = [t if isinstance(t, str) else "" for t in col]
+        sreasons = [
+            rules.structural_drop_reason(rules.structural_signals(t))
+            for t in texts_all
+        ]
+        n = len(texts_all)
+        out = pd.DataFrame(
+            {
+                "sreason": pd.array(sreasons, dtype="object"),
+                "lang_pred": pd.array([None] * n, dtype="object"),
+                "lang_conf": pd.array([None] * n, dtype="Float64"),
+                "ppl": pd.array([None] * n, dtype="Float64"),
+                "patterns_matched": pd.array([None] * n, dtype="Int32"),
+                "total_hits": pd.array([None] * n, dtype="Int32"),
+                "scrubbed_text": pd.array([None] * n, dtype="object"),
+                "bytes_scrubbed": pd.array([None] * n, dtype="Int64"),
+                "tox_hits": pd.array([None] * n, dtype="Int32"),
+            }
+        )
+        live = [i for i, s in enumerate(sreasons) if s is None]
+        if not live:
+            return out
+        texts = [texts_all[i] for i in live]
+        enc = [t.lower().encode("utf-8") for t in texts]
+        pred_ix, conf = langid.score_batch(enc)
+        ppl = lm.ppl_batch(enc)
+        distinct, total = ent_ac.count_batch(enc)
 
-            yield pdf.assign(
-                lang_pred=[langid.langs[i] for i in pred_ix],
-                lang_conf=conf,
-                ppl=ppl,
-                patterns_matched=distinct.astype("int32"),
-                total_hits=total.astype("int32"),
-                scrubbed_text=scrubbed,
-                bytes_scrubbed=pd.array(nbytes, dtype="int64"),
-                tox_hits=pd.array(tox_n, dtype="int32"),
-            )
+        scrubbed: list[str | None] = []
+        nbytes: list[int | None] = []
+        tox_n: list[int] = []
+        # PII scrub (canonical kernel), then toxicity mask on the
+        # scrubbed text via the broadcast automaton (ASCII-lower bytes)
+        pii_out = [scrub_pii(t) for t in texts]
+        tox_input = [s.encode("utf-8").lower() for s, _b, _h in pii_out]
+        rows, begins, pids = tox_ac.search_batch(tox_input)
+        spans_per_doc: list[list[tuple[int, int]]] = [[] for _ in texts]
+        lens = tox_ac.pat_lens
+        for r, b, p in zip(rows.tolist(), begins.tolist(), pids.tolist()):
+            e = b + int(lens[p])
+            if boundary_ok(tox_input[r], b, e):
+                spans_per_doc[r].append((b, e))
+        for (s_text, pii_b, _h), spans in zip(pii_out, spans_per_doc):
+            if len(spans) >= rules.TOX_DROP_HITS:
+                scrubbed.append(None)  # dropped as toxic downstream
+                nbytes.append(0)
+            else:
+                masked, tox_b = mask_spans(s_text, spans)
+                scrubbed.append(masked)
+                nbytes.append(pii_b + tox_b)
+            tox_n.append(len(spans))
+
+        out.iloc[live, out.columns.get_loc("lang_pred")] = [
+            langid.langs[i] for i in pred_ix
+        ]
+        out.iloc[live, out.columns.get_loc("lang_conf")] = conf
+        out.iloc[live, out.columns.get_loc("ppl")] = ppl
+        out.iloc[live, out.columns.get_loc("patterns_matched")] = distinct
+        out.iloc[live, out.columns.get_loc("total_hits")] = total
+        out.iloc[live, out.columns.get_loc("scrubbed_text")] = pd.array(
+            scrubbed, dtype="object"
+        )
+        out.iloc[live, out.columns.get_loc("bytes_scrubbed")] = pd.array(
+            nbytes, dtype="Int64"
+        )
+        out.iloc[live, out.columns.get_loc("tox_hits")] = pd.array(
+            tox_n, dtype="Int32"
+        )
+        return out
+
+    return fn
+
+
+def extract_text_udf():
+    """html:binary -> extracted text, as a scalar pandas UDF (only the html
+    column crosses the fence; the canonical kernel keeps the byte-identical
+    invariant)."""
+
+    @F.pandas_udf("string")
+    def fn(html: pd.Series) -> pd.Series:
+        return pd.Series([extract_text(h) for h in html], index=html.index)
 
     return fn
 
@@ -233,16 +318,25 @@ def run_quality_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     extract_from_html: bool = False,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> filtered rows with
     keep/drop_reason/scrubbed_text/metrics columns (FILTERED-like schema,
     minus the heavy html column).
 
-    Plan shape (the 100TB story):
-      scan -> [extract] -> structural signals (JVM built-ins)
-           -> filter-split on structural verdict
-           -> survivors only: ONE fused Arrow fence (langid/ppl/match/scrub)
-           -> final keep/drop cascade -> union of both branches
+    Plan shape (the 100TB story) — ONE linear plan, no branch/union (a
+    filter-split would re-run the scan + extraction once per branch), and
+    ONE Arrow fence (only the html-or-text column crosses into Python;
+    see fused_pipeline_udf for the measured built-ins-vs-kernel call):
+      scan -> fused fence (extract -> structural -> langid/ppl/match/
+           scrub, early-exit on structural drop) -> final keep/drop
+           cascade (JVM CaseWhen)
+
+    ``min_partitions``: input with fewer partitions than this is
+    repartitioned before the heavy stages (defaults to
+    ``sc.defaultParallelism``). A real Common-Crawl-scale table already
+    has thousands of file-splits, so the guard only fires on small/test
+    inputs where a single parquet file would serialize the whole job.
     """
     from ..models import (
         default_charlm,
@@ -257,59 +351,47 @@ def run_quality_pipeline(
     bc_ent = sc.broadcast(pages_automaton())
     bc_tox = sc.broadcast(toxic_automaton())
 
-    base = pages
-    if extract_from_html:
-        base = base.drop("text")
-        base = base.mapInPandas(
-            extract_fn(), schema=", ".join(
-                [f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields]
-            ) + ", text string",
-        )
-    base = base.drop("html")
+    want = min_partitions if min_partitions is not None else sc.defaultParallelism
+    if pages.rdd.getNumPartitions() < want:
+        pages = pages.repartition(want)
 
-    sig = with_structural_signals(base).withColumn("_sreason", structural_reason())
-
-    failed = sig.filter(F.col("_sreason").isNotNull()).select(
-        "url", "warc_ts", "lang",
-        F.lit(None).cast("string").alias("lang_pred"),
-        F.lit(None).cast("double").alias("lang_conf"),
-        F.lit(None).cast("double").alias("ppl"),
-        F.lit(None).cast("int").alias("patterns_matched"),
-        F.lit(None).cast("int").alias("total_hits"),
-        F.lit(None).cast("string").alias("scrubbed_text"),
-        F.lit(None).cast("long").alias("bytes_scrubbed"),
-        F.lit(None).cast("int").alias("tox_hits"),
-        F.lit(False).alias("keep"),
-        F.col("_sreason").alias("drop_reason"),
+    in_col = "html" if extract_from_html else "text"
+    enriched = pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        fused_pipeline_udf(
+            bc_lang, bc_lm, bc_ent, bc_tox, from_html=extract_from_html
+        )(F.col(in_col)).alias("m"),
     )
 
-    passed = sig.filter(F.col("_sreason").isNull())
-    in_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in passed.schema.fields
-    )
-    enriched = passed.mapInPandas(
-        fused_quality_fn(bc_lang, bc_lm, bc_ent, bc_tox),
-        schema=in_schema + ", " + FUSED_COLS,
-    )
     r = rules
-    final_reason = (
-        F.when(F.col("lang_conf") < r.MIN_LANG_CONF, "lang_uncertain")
-        .when(F.col("ppl") > r.MAX_PPL, "high_ppl")
-        .when(F.col("tox_hits") >= r.TOX_DROP_HITS, "toxic")
+    final_reason = F.coalesce(
+        F.col("m.sreason"),
+        F.when(F.col("m.lang_conf") < r.MIN_LANG_CONF, "lang_uncertain")
+        .when(F.col("m.ppl") > r.MAX_PPL, "high_ppl")
+        .when(F.col("m.tox_hits") >= r.TOX_DROP_HITS, "toxic"),
     )
     # oracle short-circuit parity: stages after the drop point are null
     early = F.coalesce(
         final_reason.isin("lang_uncertain", "high_ppl"), F.lit(False)
     )
-    done = enriched.select(
-        "url", "warc_ts", "lang",
-        "lang_pred", "lang_conf", "ppl",
-        F.when(~early, F.col("patterns_matched")).alias("patterns_matched"),
-        F.when(~early, F.col("total_hits")).alias("total_hits"),
-        F.when(final_reason.isNull(), F.col("scrubbed_text")).alias("scrubbed_text"),
-        F.when(final_reason.isNull(), F.col("bytes_scrubbed")).alias("bytes_scrubbed"),
-        F.when(~early, F.col("tox_hits")).alias("tox_hits"),
+    return enriched.select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("m.lang_pred").alias("lang_pred"),
+        F.col("m.lang_conf").alias("lang_conf"),
+        F.col("m.ppl").alias("ppl"),
+        F.when(~early, F.col("m.patterns_matched")).alias("patterns_matched"),
+        F.when(~early, F.col("m.total_hits")).alias("total_hits"),
+        F.when(final_reason.isNull(), F.col("m.scrubbed_text")).alias(
+            "scrubbed_text"
+        ),
+        F.when(final_reason.isNull(), F.col("m.bytes_scrubbed")).alias(
+            "bytes_scrubbed"
+        ),
+        F.when(~early, F.col("m.tox_hits")).alias("tox_hits"),
         final_reason.isNull().alias("keep"),
         final_reason.alias("drop_reason"),
     )
-    return done.unionByName(failed)
