@@ -1,0 +1,178 @@
+"""Snapshot catalog: the Iceberg table contract behind a thin seam.
+
+The north rule targets Iceberg tables ("resumable from Iceberg snapshot
+checkpoints with per-partition lineage and counter metrics",
+BASELINE.json:14). The sandbox has no Iceberg runtime jar, so this module
+emulates the parts of the contract the pipeline relies on with
+partitioned Parquet plus JSON snapshot manifests:
+
+  * append-only writes, each producing a new immutable snapshot that
+    records its parent, the data files added, the INPUT files consumed
+    (lineage), and the run's counter metrics;
+  * snapshot-id reads (read the table as of any snapshot);
+  * incremental/resume reads (the set of already-processed input files,
+    so a restarted job anti-joins them away — the manifest IS the
+    checkpoint).
+
+On a real cluster every call site maps 1:1 onto Iceberg:
+  append(...)            -> df.writeTo(tbl).append() + snapshot summary
+  read(snapshot_id=...)  -> spark.read.format("iceberg")
+                              .option("snapshot-id", ...).load(tbl)
+  processed_inputs(...)  -> snapshot summary / lineage table
+Only this module would change; pipeline code is catalog-agnostic.
+
+Reference analog: streamcorpus-filter wrote output chunk files and relied
+on the scheduler to not re-feed processed chunks [RECALL, SURVEY.md §3.1];
+the manifest makes that bookkeeping explicit and transactional-ish
+(manifest written atomically via rename, after data files are flushed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    """A single logical table rooted at ``root``.
+
+    Layout:
+      root/data/<snapshot_id>/...parquet   (one dir per snapshot; the
+                                            partitionBy dirs live inside)
+      root/snapshots/<seq>-<id>.json       (manifest chain)
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = pathlib.Path(root)
+        (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ manifests
+
+    def _manifests(self) -> list[pathlib.Path]:
+        return sorted((self.root / "snapshots").glob("*.json"))
+
+    def snapshots(self) -> list[dict]:
+        return [json.loads(p.read_text()) for p in self._manifests()]
+
+    def latest_snapshot(self) -> dict | None:
+        ms = self._manifests()
+        return json.loads(ms[-1].read_text()) if ms else None
+
+    # --------------------------------------------------------------- write
+
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        input_files: list[str] | None = None,
+        metrics: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Write ``df`` as a new snapshot; returns the manifest dict.
+
+        Data files are fully written before the manifest is exposed via
+        atomic rename — a crash mid-write leaves a dangling data dir that
+        no manifest references (readers never see partial output), which
+        is the same commit protocol Iceberg uses (metadata swap last).
+        """
+        parent = self.latest_snapshot()
+        seq = (parent["sequence"] + 1) if parent else 0
+        snap_id = uuid.uuid4().hex[:16]
+        data_dir = self.root / "data" / snap_id
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(data_dir))
+
+        manifest = {
+            "sequence": seq,
+            "snapshot_id": snap_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "committed_at": time.time(),
+            "data_dir": str(data_dir),
+            "input_files": sorted(input_files or []),
+            "metrics": metrics or {},
+            "partition_by": partition_by or [],
+            # full table schema: read() passes it as the user-specified
+            # schema, which types directory-encoded partition values
+            # natively (inference would stringify e.g. booleans) while
+            # keeping them in PartitionFilters for file-level pruning
+            "schema_json": df.schema.json(),
+        }
+        tmp = self.root / "snapshots" / f".tmp-{snap_id}"
+        final = self.root / "snapshots" / f"{seq:08d}-{snap_id}.json"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.rename(tmp, final)
+        return manifest
+
+    # ---------------------------------------------------------------- read
+
+    def _chain(self, snapshot_id: str | None) -> list[dict]:
+        snaps = self.snapshots()
+        if snapshot_id is None:
+            return snaps
+        out = []
+        for s in snaps:
+            out.append(s)
+            if s["snapshot_id"] == snapshot_id:
+                return out
+        raise KeyError(f"unknown snapshot {snapshot_id!r}")
+
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """Table state as of ``snapshot_id`` (default: latest)."""
+        chain = self._chain(snapshot_id)
+        if not chain:
+            raise ValueError(f"catalog {self.root} has no snapshots")
+        return self._read_snapshots(spark, chain)
+
+    @staticmethod
+    def _read_snapshots(spark: SparkSession, snaps: list[dict]) -> DataFrame:
+        """Union of the given snapshots' data dirs. Each dir is loaded with
+        its own basePath (snapshot dirs each contain their partitionBy
+        subdirs — one global basePath would make partition discovery treat
+        the snapshot-id level as a partition) and the manifest's recorded
+        schema (so partition values keep their true types AND stay in
+        PartitionFilters for file-level pruning), then unionByName with
+        allowMissingColumns tolerates schema evolution across snapshots."""
+        from pyspark.sql.types import StructType
+
+        dfs = []
+        for s in snaps:
+            r = spark.read.option("basePath", s["data_dir"])
+            if s.get("schema_json"):
+                r = r.schema(StructType.fromJson(json.loads(s["schema_json"])))
+            dfs.append(r.parquet(s["data_dir"]))
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    def read_incremental(
+        self, spark: SparkSession, after_snapshot_id: str, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Rows appended strictly after ``after_snapshot_id`` (Iceberg's
+        incremental append scan)."""
+        chain = self._chain(snapshot_id)
+        seen = [s["snapshot_id"] for s in chain]
+        if after_snapshot_id not in seen:
+            raise KeyError(f"unknown snapshot {after_snapshot_id!r}")
+        new = chain[seen.index(after_snapshot_id) + 1 :]
+        if not new:
+            return self.read(spark).limit(0)
+        return self._read_snapshots(spark, new)
+
+    # -------------------------------------------------------------- resume
+
+    def processed_inputs(self) -> set[str]:
+        """Union of input files consumed by every committed snapshot —
+        the resume checkpoint."""
+        out: set[str] = set()
+        for s in self.snapshots():
+            out.update(s["input_files"])
+        return out

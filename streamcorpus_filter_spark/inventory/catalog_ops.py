@@ -1,0 +1,120 @@
+"""Source/sink/catalog operator rows (SURVEY.md §2.3, §2.2
+ql_checkpoint_resume) as driver-checkable queries over the fixture tables.
+
+Each query exercises the SnapshotCatalog seam (partitioned-parquet +
+manifest emulation of the Iceberg table contract, catalog.py) end-to-end
+against a fresh temp table, then returns a result the DuckDB oracle can
+recompute from the original fixture — so the write->manifest->read cycle
+itself is under the value-hash check, not just the final aggregation.
+
+Reference analog: chunk write / chunk scan [RECALL, SURVEY.md §2.1];
+resume analog: re-feeding only unprocessed chunk files.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import SnapshotCatalog
+from ..queries import load, register
+
+
+@register(
+    "sink_partitioned",
+    """
+    SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned snapshot write + read-back: documents partitioned by
+    (lang, source); the aggregation runs over the round-tripped table."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_part_"))
+    cat.append(load(spark, sf, "documents"), partition_by=["lang", "source"])
+    return (
+        cat.read(spark)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+@register(
+    "scan_iceberg_snapshot",
+    """
+    SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def scan_iceberg_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-id (time-travel) read: append even docs, then odd docs;
+    read as-of the first snapshot -> exactly the even docs, untouched by
+    the later append."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_snap_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    s1 = cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    cat.append(docs.where(F.col("doc_id") % 2 == 1))
+    return cat.read(spark, s1["snapshot_id"])
+
+
+@register(
+    "sink_metrics",
+    """
+    SELECT source,
+           count(*) AS docs_seen,
+           CAST(sum(n_chars) AS BIGINT) AS bytes_seen
+    FROM documents GROUP BY source
+    """,
+)
+def sink_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Metrics-table sink: per-source counters appended to a metrics
+    snapshot (the run_pipeline.py lineage-table shape), read back."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_metrics_"))
+    m = (
+        load(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_seen"),
+            F.sum("n_chars").alias("bytes_seen"),
+        )
+    )
+    cat.append(m.coalesce(1))
+    return cat.read(spark)
+
+
+@register(
+    "ql_checkpoint_resume",
+    """
+    SELECT source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE n_chars > 100 GROUP BY source
+    """,
+)
+def ql_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint/resume semantics under the oracle check: the fixture is
+    split into 3 input files; a 'crashed' run processes one file, a
+    --resume run anti-selects the manifest's processed inputs and handles
+    the rest; the union of snapshots must equal a one-shot run (oracle =
+    the filter over the whole fixture)."""
+    src = tempfile.mkdtemp(prefix="resume_in_")
+    docs = load(spark, sf, "documents")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/chunk-{i}", mode="overwrite"
+        )
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="resume_out_"))
+
+    def process(files: list[str]) -> None:
+        df = spark.read.parquet(*files).where(F.col("n_chars") > 100)
+        cat.append(df, input_files=files)
+
+    candidates = sorted(spark.read.parquet(f"{src}/chunk-*").inputFiles())
+    process(candidates[:1])                       # partial run, then "crash"
+    done = cat.processed_inputs()                  # resume from checkpoint
+    process([f for f in candidates if f not in done])
+
+    return (
+        cat.read(spark)
+        .groupBy("source")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+    )

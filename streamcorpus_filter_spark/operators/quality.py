@@ -356,10 +356,11 @@ def run_quality_pipeline(
         pages = pages.repartition(want)
 
     in_col = "html" if extract_from_html else "text"
+    # every non-payload column (url, warc_ts, lang, plus any caller-added
+    # lineage columns like input_file/partition_id) rides through untouched
+    passthrough = [c for c in pages.columns if c not in ("html", "text")]
     enriched = pages.select(
-        "url",
-        "warc_ts",
-        "lang",
+        *passthrough,
         fused_pipeline_udf(
             bc_lang, bc_lm, bc_ent, bc_tox, from_html=extract_from_html
         )(F.col(in_col)).alias("m"),
@@ -377,9 +378,7 @@ def run_quality_pipeline(
         final_reason.isin("lang_uncertain", "high_ppl"), F.lit(False)
     )
     return enriched.select(
-        "url",
-        "warc_ts",
-        "lang",
+        *passthrough,
         F.col("m.lang_pred").alias("lang_pred"),
         F.col("m.lang_conf").alias("lang_conf"),
         F.col("m.ppl").alias("ppl"),
