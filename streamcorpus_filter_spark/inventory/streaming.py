@@ -1,0 +1,209 @@
+"""Structured Streaming operator rows (SURVEY.md §2.10) as driver-checkable
+queries.
+
+Reference analog: the TREC KBA corpus arrived as an hourly stream of chunk
+dirs and the filter was re-run per batch [RECALL, SURVEY.md §2.10]; here
+the same engine semantics run as Structured Streaming micro-batches over
+the identical schema.
+
+Each query stages the finite fixture as a file-source stream, runs the
+streaming plan with ``trigger(availableNow=True)`` to completion, and
+returns the sink contents as a regular DataFrame — so the driver's
+value-hash check covers the streaming execution path too. The inputs are
+written as a single file so the run is one micro-batch and therefore
+deterministic under the batch-equivalent SQL oracle; multi-batch state /
+late-data semantics (where output depends on batch boundaries) are
+asserted in tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..queries import load, register
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _stage_events(spark: SparkSession, sf: str) -> str:
+    """Copy the events fixture into a temp dir as ONE parquet file — the
+    file-source stream then sees exactly one micro-batch."""
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    load(spark, sf, "events").coalesce(1).write.parquet(d, mode="overwrite")
+    return d
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(_stage_events(spark, sf))
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute the streaming plan to a memory sink until exhausted; return
+    the sink table (a plain DataFrame)."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_source_files",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def stream_source_files(spark: SparkSession, sf: str) -> DataFrame:
+    """File-source micro-batch read + stateless transform: the whole
+    reference filter loop as a stream (scan -> filter -> project)."""
+    s = _events_stream(spark, sf)
+    out = s.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(out)
+
+
+@register(
+    "stream_tumbling_agg",
+    """
+    SELECT date_trunc('day', ts) AS win_start,
+           count(*) AS events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time tumbling window with watermark (per-day doc counts of
+    SURVEY.md §2.10 on the events fixture)."""
+    s = _events_stream(spark, sf)
+    out = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "events", "total_value")
+    )
+    return _run_to_memory(out, output_mode="complete")
+
+
+@register(
+    "stream_sliding_session",
+    """
+    WITH starts AS (
+      SELECT date_trunc('hour', ts) AS win_start FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+    )
+    SELECT win_start, count(*) AS events FROM starts GROUP BY 1
+    """,
+)
+def stream_sliding_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding event-time window (2h length, 1h slide): every event lands
+    in two windows — the oracle enumerates both window starts per event.
+    Session windows (gap-based) are asserted in tests/test_streaming.py:
+    their output depends on batch boundaries and has no closed-form SQL."""
+    s = _events_stream(spark, sf)
+    out = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("events"))
+        .select(F.col("w.start").alias("win_start"), "events")
+    )
+    return _run_to_memory(out, output_mode="complete")
+
+
+@register(
+    "stream_dedup_watermark",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-data-tolerant streaming dedup: dropDuplicates on a key with a
+    watermark bounding the dedup state (the url/doc_id dedup shape)."""
+    s = _events_stream(spark, sf)
+    out = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(out)
+
+
+@register(
+    "stream_stateful_counts",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator: running per-user counters via
+    applyInPandasWithState (the per-host running-state shape). One input
+    batch -> one emission per key, equal to the batch aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    s = _events_stream(spark, sf)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, output_mode="update")
+
+
+@register(
+    "stream_sink_checkpoint",
+    "SELECT event_id, user_id, value FROM events",
+)
+def stream_sink_checkpoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-once file sink + checkpointLocation: the stream is started
+    TWICE against the same checkpoint; the second run finds no new files,
+    so the sink holds each row exactly once (re-run idempotence — the
+    streaming analog of ql_checkpoint_resume)."""
+    src = _stage_events(spark, sf)
+    work = tempfile.mkdtemp(prefix="stream_sink_")
+    out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
+    for _ in range(2):
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(src)
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -132,7 +132,14 @@ def ql_ac_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inventory modules register themselves on import (registry must exist first)
 # --------------------------------------------------------------------------
 
-from .inventory import catalog_ops, dedup, quality, relational  # noqa: E402,F401
+from .inventory import (  # noqa: E402,F401
+    catalog_ops,
+    dedup,
+    quality,
+    relational,
+    streaming,
+    udf_surface,
+)
 
 # --------------------------------------------------------------------------
 # driver contract surface
