@@ -332,6 +332,52 @@ def ql_metrics_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "ql_c4_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             replace(replace(text, ' slow ', ' javascript '),
+                     ' the ', '.' || chr(10)) AS multi
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_filter(string_split(multi, chr(10)), l ->
+               regexp_matches(rtrim(l), '[.!?。]$')
+               AND len(list_filter(string_split(l, ' '), w -> w <> ''))
+                   >= {rules.C4_MIN_LINE_WORDS}
+               AND NOT contains(lower(l), '{rules.C4_BAD_SUBSTR}')
+             ), chr(10)), '') AS c4_text
+    FROM t
+    """,
+)
+def ql_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-level rewrite (kernels/rules.py c4_line_filter spec) in pure
+    built-ins: split to lines, keep lines ending in terminal punctuation
+    with >=3 words and no 'javascript', re-join. The unpunctuated
+    single-line fixture text is first rewritten (deterministically, on
+    both sides) into punctuated lines with planted 'javascript' hits so
+    the filter has real keep/drop work."""
+    multi = F.replace(
+        F.replace(F.col("text"), F.lit(" slow "), F.lit(" javascript ")),
+        F.lit(" the "),
+        F.lit(".\n"),
+    )
+    kept = F.filter(
+        F.split(multi, "\n"),
+        lambda l: F.rtrim(l).rlike("[.!?。]$")
+        & (
+            F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+            >= rules.C4_MIN_LINE_WORDS
+        )
+        & ~F.contains(F.lower(l), F.lit(rules.C4_BAD_SUBSTR)),
+    )
+    return load(spark, sf, "documents").select(
+        "doc_id", F.array_join(kept, "\n").alias("c4_text")
+    )
+
+
 # ------------------------------------------------------------- rows-only
 
 

@@ -125,6 +125,28 @@ def structural_signals(text: str) -> dict[str, float]:
     }
 
 
+C4_MIN_LINE_WORDS = 3
+C4_BAD_SUBSTR = "javascript"
+
+
+def c4_line_filter(text: str) -> str:
+    """C4-style line-level rewrite (order-preserving, byte-exact): keep a
+    line iff it ends (after trailing-space trim — space only, matching
+    Spark rtrim / DuckDB rtrim) in terminal punctuation, has at least
+    C4_MIN_LINE_WORDS whitespace-words, and doesn't mention 'javascript'
+    (case-insensitive). Kept lines re-join with '\\n'."""
+    kept = []
+    for ln in text.split("\n"):
+        r = ln.rstrip(" ")
+        if (
+            r.endswith(tuple(TERMINAL_PUNCT))
+            and len([w for w in ln.split(" ") if w]) >= C4_MIN_LINE_WORDS
+            and C4_BAD_SUBSTR not in ln.lower()
+        ):
+            kept.append(ln)
+    return "\n".join(kept)
+
+
 def structural_drop_reason(sig: dict[str, float]) -> str | None:
     """First-drop-wins over the structural (pre-UDF) rules."""
     if sig["n_words"] < MIN_WORDS:

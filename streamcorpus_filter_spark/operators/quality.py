@@ -334,9 +334,13 @@ def run_quality_pipeline(
 
     ``min_partitions``: input with fewer partitions than this is
     repartitioned before the heavy stages (defaults to
-    ``sc.defaultParallelism``). A real Common-Crawl-scale table already
-    has thousands of file-splits, so the guard only fires on small/test
-    inputs where a single parquet file would serialize the whole job.
+    ``2 * sc.defaultParallelism`` — 2-3 tasks per core evens out the
+    heavy doc-length tail). A real Common-Crawl-scale table already has
+    thousands of file-splits, so the guard only fires on small/test
+    inputs. Caveat: getNumPartitions reports SPLITS, and a parquet row
+    group is the true minimum split unit — a single-row-group file scans
+    as one task no matter what this reports, so test fixtures must be
+    written with real row groups (synth.write_pages_parquet does).
     """
     from ..models import (
         default_charlm,
@@ -351,7 +355,9 @@ def run_quality_pipeline(
     bc_ent = sc.broadcast(pages_automaton())
     bc_tox = sc.broadcast(toxic_automaton())
 
-    want = min_partitions if min_partitions is not None else sc.defaultParallelism
+    want = (
+        min_partitions if min_partitions is not None else 2 * sc.defaultParallelism
+    )
     if pages.rdd.getNumPartitions() < want:
         pages = pages.repartition(want)
 

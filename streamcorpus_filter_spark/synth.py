@@ -243,8 +243,16 @@ def make_pages(n: int, seed: int = 42) -> dict[str, list]:
     return {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
 
 
-def write_pages_parquet(path: str, n: int, seed: int = 42) -> str:
-    """Write pages to a parquet file via pyarrow (no Spark needed)."""
+def write_pages_parquet(
+    path: str, n: int, seed: int = 42, row_group_size: int = 4096
+) -> str:
+    """Write pages to a parquet file via pyarrow (no Spark needed).
+
+    row_group_size matters: a row group is Spark's minimum scan-split
+    unit, and pyarrow's default (1M rows) would put the whole corpus in
+    ONE row group -> one scan task no matter the cluster size. Real
+    crawl tables are many files x many row groups; 4096 keeps the test
+    corpus splittable like production data."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -258,7 +266,42 @@ def write_pages_parquet(path: str, n: int, seed: int = 42) -> str:
             "lang": pa.array(cols["lang"], pa.string()),
         }
     )
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)
+    return path
+
+
+def write_pages_dir(
+    path: str, n: int, seed: int = 42, files: int = 64, row_group_size: int = 1024
+) -> str:
+    """Write the same deterministic corpus as a DIRECTORY of ``files``
+    parquet files — the realistic crawl layout (many chunk files), which
+    lets Spark parallelize the scan with zero shuffle. One make_pages()
+    call, sliced round-robin-free (contiguous slices keep it simple and
+    deterministic)."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = make_pages(n, seed)
+    d = pathlib.Path(path)
+    d.mkdir(parents=True, exist_ok=True)
+    per = (n + files - 1) // files
+    for i in range(files):
+        lo, hi = i * per, min((i + 1) * per, n)
+        if lo >= hi:
+            break
+        table = pa.table(
+            {
+                "url": pa.array(cols["url"][lo:hi], pa.string()),
+                "warc_ts": pa.array(cols["warc_ts"][lo:hi], pa.timestamp("us")),
+                "html": pa.array(cols["html"][lo:hi], pa.binary()),
+                "text": pa.array(cols["text"][lo:hi], pa.string()),
+                "lang": pa.array(cols["lang"][lo:hi], pa.string()),
+            }
+        )
+        pq.write_table(table, str(d / f"chunk-{i:04d}.parquet"),
+                       row_group_size=row_group_size)
     return path
 
 
