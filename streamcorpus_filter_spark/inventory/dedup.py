@@ -21,6 +21,7 @@ from ..operators.dedup import (
     cosine_expr,
     hamming64_expr,
     jaccard_pairs,
+    verify_pairs_jaccard,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_fn,
@@ -104,8 +105,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sh = word_shingles(t, "doc_id", "text", k=3)
     sigs = minhash_signatures(sh, "doc_id", n_perm=32)
     cands = lsh_candidate_pairs(sigs, "doc_id", n_perm=32, bands=16)
-    exact = jaccard_pairs(sh, "doc_id", threshold=0.2)
-    return cands.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+    return verify_pairs_jaccard(cands, sh, "doc_id", threshold=0.2)
 
 
 @register("dedup_simhash")  # custom bit sketch -> rows-only

@@ -879,9 +879,18 @@ def json_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("map_funcs")  # DuckDB map surface differs -> rows-only check
+@register(
+    "map_funcs",
+    """
+    SELECT doc_id, 'lang' AS key, lang AS value FROM documents
+    UNION ALL
+    SELECT doc_id, 'source' AS key, source AS value FROM documents
+    """,
+)
 def map_funcs(spark: SparkSession, sf: str) -> DataFrame:
-    """MapType round-trip: build a map per row, explode it back out."""
+    """MapType round-trip: build a map per row, explode it back out.
+    Oracle: exploding a two-literal-key map is the UNION ALL of the two
+    (doc_id, key, value) projections — same bag, order-insensitive."""
     d = load(spark, sf, "documents")
     m = d.select(
         "doc_id",

@@ -68,6 +68,29 @@ def jaccard_pairs(
     )
 
 
+def verify_pairs_jaccard(
+    cands: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed ONLY on candidate pairs (a, b) — the LSH
+    scale path: join each side to its collected shingle set, then
+    intersect/union via array built-ins. Work is proportional to the
+    candidate count, never to all pairs sharing a shingle (which is what
+    LSH exists to avoid). Returns (a, b, jaccard) with jaccard >= threshold."""
+    sets_ = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("shset"))
+    sa = sets_.select(F.col(id_col).alias("a"), F.col("shset").alias("sh_a"))
+    sb = sets_.select(F.col(id_col).alias("b"), F.col("shset").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard", inter / (F.size("sh_a") + F.size("sh_b") - inter)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, n_perm: int = 32
 ) -> DataFrame:
