@@ -1,0 +1,129 @@
+"""Physical-plan quality guards (SURVEY.md §4.2, §7(e)).
+
+The spec bans per-row Python in the hot path (BASELINE.json:15) and the
+scale story depends on Catalyst actually delivering column pruning,
+predicate pushdown, and broadcast joins. These are plan-shape assertions:
+``explain`` only — nothing here executes a job.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# Invoking these queries performs real work (writes a snapshot, runs a
+# stream to a memory sink) — plan text is checked for the rest.
+SIDE_EFFECT_PREFIXES = ("stream_", "sink_", "scan_iceberg", "ql_checkpoint")
+
+# Python UDTFs evaluate row-at-a-time by design; udtf_explode is the one
+# documented capability-parity exception (inventory/udf_surface.py:12-16).
+ROW_PYTHON_ALLOWED = {"udtf_explode"}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_per_row_python_anywhere(spark):
+    """Every inventory query's physical plan must use Arrow-vectorized
+    Python nodes (ArrowEvalPython / MapInPandas / MapInArrow /
+    FlatMapGroupsInPandas / AggregateInPandas), never row-pickling
+    BatchEvalPython."""
+    import __spark_entry__ as e
+
+    offenders = []
+    for name, fn in sorted(e.queries().items()):
+        if name.startswith(SIDE_EFFECT_PREFIXES) or name in ROW_PYTHON_ALLOWED:
+            continue
+        plan = plan_of(fn(spark, SF_SMALL))
+        # "BatchEvalPython" is the row-at-a-time node; the UDTF variant
+        # ("BatchEvalPythonUDTF") is caught by the same substring.
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == [], f"row-at-a-time Python fences in: {offenders}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    """ql_gopher_rules touches only (doc_id, text): the parquet ReadSchema
+    must not include lang/source/n_chars — at crawl scale pruning the
+    unused columns is the single biggest IO win."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["ql_gopher_rules"](spark, SF_SMALL))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for l in scans:
+        assert "source" not in l and "n_chars" not in l, l
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    """join_broadcast filters part.p_type = 'PROMO'; the equality must
+    appear in PushedFilters (row-group skipping), not only in a
+    post-scan Filter."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["join_broadcast"](spark, SF_SMALL))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_type" in l for l in pushed), plan
+
+
+def test_small_dim_join_is_broadcast(spark):
+    """The blocklist/dim-table join pattern must plan as
+    BroadcastHashJoin, never a shuffle join on the fact side."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["join_broadcast"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pipeline_reads_no_html_when_text_given(spark):
+    """run_quality_pipeline(extract_from_html=False) must never read the
+    html column: at 100 TB the raw bytes dominate the table and pruning
+    them is the difference between scanning ~20% and 100% of the data."""
+    import tempfile
+
+    from streamcorpus_filter_spark.operators.quality import run_quality_pipeline
+    from streamcorpus_filter_spark.synth import write_pages_parquet
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/pages.parquet"
+        write_pages_parquet(path, 300, seed=11)
+        pages = spark.read.parquet(path)
+        out = run_quality_pipeline(
+            spark, pages, extract_from_html=False, min_partitions=1
+        )
+        plan = plan_of(out)
+        scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert scans, plan
+        for l in scans:
+            assert "html" not in l, l
+
+
+def test_pipeline_is_single_arrow_fence(spark):
+    """The fused quality pipeline promises ONE Python fence over the data
+    (BENCH/BASELINE.md finding 1): more fences means the whole corpus
+    crosses the JVM<->Python Arrow boundary again."""
+    import tempfile
+
+    from streamcorpus_filter_spark.operators.quality import run_quality_pipeline
+    from streamcorpus_filter_spark.synth import write_pages_parquet
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/pages.parquet"
+        write_pages_parquet(path, 300, seed=11)
+        pages = spark.read.parquet(path)
+        out = run_quality_pipeline(
+            spark, pages, extract_from_html=True, min_partitions=1
+        )
+        plan = plan_of(out)
+        fences = sum(
+            plan.count(node)
+            for node in ("ArrowEvalPython", "MapInPandas", "MapInArrow")
+        )
+        assert fences <= 2, f"{fences} Python fences:\n{plan}"
+        assert "BatchEvalPython" not in plan
