@@ -136,9 +136,11 @@ agg; the driver records the JSON line as BENCH_r{{N}}.json.
 
 ## Single-core kernel cost (for the throughput model)
 
-~2.9 ms/doc total: extract 0.27, structural 0.7, langid 0.42, ppl 0.1,
-entity-AC 0.4, PII scrub 0.5, toxicity 0.5 (structural rejects ~30%
-exit before the model stages).
+~2.6 ms/doc total: extract 0.27, structural 0.41 (C-accelerated
+early-exit twin; scalar oracle path is 0.73), langid 0.42, ppl 0.1,
+entity-AC 0.4, PII scrub 0.5 (trigger-gated: free when a doc has no
+@/digit), toxicity 0.5 (structural rejects ~30% exit before the model
+stages).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)

@@ -20,6 +20,7 @@ empty lines and canonicalizes horizontal whitespace).
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 # --- tokenization ---------------------------------------------------------
 TOKEN_SPLIT_PY = re.compile(r"[ \t\n\r\f\v]+")
@@ -123,6 +124,61 @@ def structural_signals(text: str) -> dict[str, float]:
         "dup_line_frac": dup_lines,
         "top2gram_frac": (2 * top2) / nw,
     }
+
+
+# --- fast batch path (the Spark fused-kernel implementation) --------------
+# One regex scan counts tokens containing a letter: a match consumes a
+# whole token iff it has >=1 letter char ([^\W\d_]) and cannot cross the
+# whitespace class. Agrees with the scalar any(isalpha) on every token in
+# the corpus (asserted in tests/test_rules_fast.py); the DuckDB and JVM
+# twins already use their own engine letter classes the same way.
+_ALPHA_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]*[^\W\d_][^ \t\n\r\f\v]*")
+
+
+def structural_reason_fast(text: str) -> str | None:
+    """C-accelerated twin of structural_signals + structural_drop_reason:
+    identical signal arithmetic (same numerators/denominators, so float
+    comparisons bit-match), identical first-drop-wins order, but each rule
+    evaluates lazily — a doc dropped by a cheap rule never pays the
+    top-bigram Counter. The scalar pair above stays the oracle's code path
+    (shared constants, disjoint loops — SURVEY.md §0)."""
+    toks = [t for t in TOKEN_SPLIT_PY.split(text) if t]
+    n_words = len(toks)
+    if n_words < MIN_WORDS:
+        return "gopher_short"
+    if n_words > MAX_WORDS:
+        return "gopher_long"
+    nw = max(n_words, 1)
+    mean_wl = sum(map(len, toks)) / nw
+    if not (MIN_MEAN_WORD_LEN <= mean_wl <= MAX_MEAN_WORD_LEN):
+        return "gopher_word_len"
+    if (text.count("#") + text.count("...")) / nw > MAX_SYMBOL_TO_WORD:
+        return "gopher_symbol"
+    lns = [ln for ln in text.split("\n") if ln]
+    n_lines = max(len(lns), 1)
+    if sum(1 for ln in lns if ln.startswith(BULLET_PREFIXES)) / n_lines > MAX_BULLET_LINE_FRAC:
+        return "gopher_bullet"
+    if sum(1 for ln in lns if ln.endswith(ELLIPSIS_SUFFIXES)) / n_lines > MAX_ELLIPSIS_LINE_FRAC:
+        return "gopher_ellipsis"
+    if len(_ALPHA_TOKEN_RE.findall(text)) / nw < MIN_ALPHA_WORD_FRAC:
+        return "gopher_alpha"
+    if sum(1 for t in toks if t.lower() in STOPWORD_SET) < MIN_STOPWORDS:
+        return "gopher_stopwords"
+    if "lorem ipsum" in text.lower():
+        return "c4_lorem"
+    if "{" in text:
+        return "c4_brace"
+    if sum(text.count(c) for c in TERMINAL_PUNCT) < MIN_TERMINAL_PUNCT:
+        return "c4_sentences"
+    if sum(1 for ln in lns if ln[-1] in TERMINAL_PUNCT) / n_lines < MIN_LINE_PUNCT_FRAC:
+        return "c4_line_punct"
+    if (len(lns) - len(set(lns))) / n_lines > MAX_DUP_LINE_FRAC:
+        return "rep_dup_lines"
+    grams = Counter(zip(toks, toks[1:]))
+    top2 = max(grams.values()) if grams else 0
+    if (2 * top2) / nw > MAX_TOP2GRAM_FRAC:
+        return "rep_top2gram"
+    return None
 
 
 C4_MIN_LINE_WORDS = 3

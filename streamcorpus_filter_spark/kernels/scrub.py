@@ -30,12 +30,28 @@ SCRUB_RULES: list[tuple[str, re.Pattern[str], str]] = [
 ]
 
 
+# Trigger gates: every email match contains '@'; every ssn/phone/ipv4
+# match contains an ASCII digit. One cheap C-level scan decides whether a
+# rule's full pattern can possibly match — skipping it is byte-identical
+# because a skipped rule had zero matches by construction.
+_DIGIT_RE = re.compile(r"\d")
+
+
 def scrub_pii(text: str) -> tuple[str, int, int]:
     """Returns (scrubbed_text, bytes_scrubbed, n_pii_hits).
     bytes_scrubbed = UTF-8 length of all replaced source spans."""
+    has_at = "@" in text
+    has_digit = _DIGIT_RE.search(text) is not None
+    if not has_at and not has_digit:
+        return text, 0, 0
     total_bytes = 0
     total_hits = 0
     for _name, pat, repl in SCRUB_RULES:
+        if _name == "email":
+            if not has_at:
+                continue
+        elif not has_digit:
+            continue
         spans: list[str] = []
 
         def _sub(m: re.Match[str]) -> str:

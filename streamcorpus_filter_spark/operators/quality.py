@@ -216,10 +216,9 @@ def fused_pipeline_udf(bc_langid, bc_lm, bc_ent_ac, bc_tox_ac, from_html: bool):
             ]
         else:
             texts_all = [t if isinstance(t, str) else "" for t in col]
-        sreasons = [
-            rules.structural_drop_reason(rules.structural_signals(t))
-            for t in texts_all
-        ]
+        # fast C-accelerated twin (early-exit per rule); the scalar
+        # structural_signals pair stays the oracle's disjoint code path
+        sreasons = [rules.structural_reason_fast(t) for t in texts_all]
         n = len(texts_all)
         out = pd.DataFrame(
             {
