@@ -100,7 +100,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash (32 perms) + LSH banding (16 bands x 2 rows, ~certain
     recall above j~0.5) candidate pairs,
     verified by exact Jaccard — the linear-time near-dup path at scale.
-    pytest checks recall vs the exact pairs on planted twins."""
+    pytest checks recall vs the exact pairs on planted twins.
+
+    Plan note (measured): keep the shingle expression INLINE in the
+    explode — naming it as an array column and exploding later trips
+    InferFiltersFromGenerate, whose inferred size()>0 filter gets the
+    whole shingle expression re-inlined by projection collapse and
+    evaluated twice per row (8x wall-time regression at sf0.1). The
+    explode+partial-min-agg shape shuffles only ~1 row/doc (map-side
+    combine), so it scales; a "row-local" array_min(transform) variant
+    is 10x slower (interpreted HOF hashing, no codegen)."""
     t = _twinned(spark, sf)
     sh = word_shingles(t, "doc_id", "text", k=3)
     sigs = minhash_signatures(sh, "doc_id", n_perm=32)
@@ -321,9 +330,12 @@ def txt_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
     16-byte windows (numpy kernel) — robust to suffix edits."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        B = 257
-        W = 16
-        mod = np.uint64(0xFFFFFFFFFFFFFFFF)
+        B, W = 257, 16
+        # window hash = sum_j byte[j] * B^(W-1-j) mod 2^64; vectorized as W
+        # strided adds (numpy uint64 wraps silently) — no per-byte loop.
+        weights = np.array(
+            [pow(B, W - 1 - j, 1 << 64) for j in range(W)], dtype=np.uint64
+        )
         for pdf in batches:
             out = []
             for t in pdf["text"]:
@@ -333,15 +345,10 @@ def txt_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
                 if data.size < W:
                     out.append(0)
                     continue
-                h = np.zeros(data.size - W + 1, dtype=np.uint64)
-                acc = np.uint64(0)
-                powW = np.uint64(pow(B, W, 1 << 64))
-                for i in range(data.size):
-                    acc = (acc * np.uint64(B) + data[i]) & mod
-                    if i >= W:
-                        acc = (acc - data[i - W] * powW) & mod
-                    if i >= W - 1:
-                        h[i - W + 1] = acc
+                n = data.size - W + 1
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(W):
+                    h += data[j : j + n] * weights[j]
                 out.append(int(h.min().astype(np.int64)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "min_fp": pd.array(out, dtype="int64")})
 
