@@ -287,6 +287,91 @@ def sim_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("sim_ivf_topk")  # trained centroids -> rows-only
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means centroids trained driver-side on a
+    bounded sample, broadcast; every corpus vector is assigned to its
+    nearest centroid in one numpy pass; a query probes only its nprobe
+    nearest cells (equi-join on cell id) and exact-cosine re-ranks the
+    candidates. The scale path for 10^9+ vectors: the corpus is hashed
+    once into cell-keyed layout, query cost is ~nprobe/K of a full scan,
+    and the join is an equi-join AQE can plan. pytest checks recall@10
+    vs brute force."""
+    K, NPROBE, SEED, SAMPLE = 16, 4, 11, 2048
+
+    e = load(spark, sf, "embeddings")
+    # bounded, deterministic sample to the driver (vec_id order) — at
+    # 10^12 rows this would be `ORDER BY hash LIMIT n` or reservoir sample
+    samp = np.stack(
+        e.orderBy("vec_id").limit(SAMPLE).toPandas()["embedding"].map(np.asarray)
+    ).astype(np.float64)
+    rng = np.random.RandomState(SEED)
+    cent = samp[rng.choice(len(samp), K, replace=False)]
+    for _ in range(8):  # Lloyd iterations, cosine metric (normalized)
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        sn = samp / np.linalg.norm(samp, axis=1, keepdims=True)
+        assign = (sn @ cn.T).argmax(axis=1)
+        for k in range(K):
+            m = assign == k
+            if m.any():
+                cent[k] = samp[m].mean(axis=0)
+    bc = spark.sparkContext.broadcast(
+        cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    )
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value  # (K, dim), unit norm
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ C.T  # (n, K)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": sims.argmax(axis=1).astype("int32")}
+            )
+
+    def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(Vn @ C.T), axis=1)[:, :NPROBE]  # (n, NPROBE)
+            ids = np.repeat(pdf["vec_id"].to_numpy(), NPROBE)
+            yield pd.DataFrame(
+                {"query_id": ids, "cell": order.ravel().astype("int32")}
+            )
+
+    cells = e.select("vec_id", "embedding").mapInPandas(
+        assign_cells, schema="vec_id bigint, cell int"
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe_cells, schema="query_id bigint, cell int")
+    )
+    cands = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("nn_id"))
+        .distinct()
+    )
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(e, F.col("vec_id") == F.col("nn_id"))
+        .select(
+            "query_id", "nn_id", cosine_expr(F.col("qv"), F.col("embedding")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "nn_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "nn_id", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
 # ----------------------------------------------------------- text analysis
 
 
@@ -448,3 +533,52 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
     return d.mapInPandas(fn, schema="doc_id bigint, feature array<double>, dim int")
+
+
+@register("mm_frame_sample")  # deterministic fake frame decode -> rows-only
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling over opaque blobs: each blob yields up to
+    N_FRAMES evenly-spaced 'frames' (fixed-stride byte windows standing in
+    for decoded frames — real ffmpeg/PIL are absent here, the STUB is the
+    window slice), one output ROW per frame (mapInPandas as a UDTF: the
+    batch fans out 1->N). Spark-side reality being exercised: row-expanding
+    Arrow stage, per-frame typed metadata, and downstream per-frame
+    feature columns. Swap the window slice for a real decoder on a
+    cluster."""
+    N_FRAMES, FRAME_BYTES = 4, 256
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            feats: list[list[float]] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = blob if isinstance(blob, (bytes, bytearray)) else b""
+                n = max(1, min(N_FRAMES, len(b) // FRAME_BYTES or 1))
+                for fi in range(n):
+                    off = (fi * max(len(b) - FRAME_BYTES, 0)) // max(n - 1, 1) if n > 1 else 0
+                    win = np.frombuffer(b[off : off + FRAME_BYTES], dtype=np.uint8)
+                    # STUB decode: 4-bin byte histogram as the "frame feature"
+                    hist = np.bincount(win >> 6, minlength=4).astype(np.float64)
+                    hist /= max(win.size, 1)
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    offs.append(off)
+                    feats.append(np.round(hist, 6).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "byte_offset": pd.array(offs, dtype="int64"),
+                    "frame_feat": feats,
+                }
+            )
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return d.mapInPandas(
+        fn,
+        schema="doc_id bigint, frame_idx int, byte_offset bigint, frame_feat array<double>",
+    )

@@ -53,6 +53,40 @@ def test_lsh_ann_recall_at_10(spark, reg):
     assert sum(recalls) / len(recalls) >= 0.3, recalls
 
 
+def test_ivf_ann_recall_at_10(spark, reg):
+    brute = reg.QUERIES["sim_topk_bruteforce"](spark, SF_SMALL).collect()
+    ivf = reg.QUERIES["sim_ivf_topk"](spark, SF_SMALL).collect()
+    top_brute: dict[int, set] = {}
+    for r in brute:
+        top_brute.setdefault(r.query_id, set()).add(r.nn_id)
+    top_ivf: dict[int, set] = {}
+    for r in ivf:
+        top_ivf.setdefault(r.query_id, set()).add(r.nn_id)
+    recalls = [
+        len(top_brute[q] & top_ivf.get(q, set())) / len(top_brute[q])
+        for q in top_brute
+    ]
+    # nprobe=4 of K=16 cells scans ~25% of the corpus; on gaussian
+    # fixtures true neighbors concentrate in the probed cells
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_frame_sample_shape_and_determinism(spark, reg):
+    rows = reg.QUERIES["mm_frame_sample"](spark, SF_SMALL).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "expected frames"
+    for doc_id, frames in by_doc.items():
+        assert 1 <= len(frames) <= 4
+        assert sorted(f.frame_idx for f in frames) == list(range(len(frames)))
+        for f in frames:
+            assert len(f.frame_feat) == 4
+            assert abs(sum(f.frame_feat) - 1.0) < 1e-3  # histogram sums to 1
+    again = reg.QUERIES["mm_frame_sample"](spark, SF_SMALL).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
 def test_rolling_fp_stable_under_suffix_edit(spark, reg):
     # winnowing property: min rolling hash usually survives suffix trims
     from streamcorpus_filter_spark.queries import load
