@@ -43,6 +43,33 @@ class FilterNames:
     def compile(self) -> ACAutomaton:
         return ACAutomaton(self.names)
 
+    # -- builder round-trip (the reference's EP-R3 FilterNames builder
+    # serialized a Thrift blob; ours is a JSON artifact + a loader from a
+    # two-column names table — SURVEY.md §3.1)
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {"target_id_to_names": self.target_id_to_names}, sort_keys=True
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "FilterNames":
+        import json
+
+        return cls(json.loads(s)["target_id_to_names"])
+
+    @classmethod
+    def from_dataframe(cls, df, target_col: str = "target_id", name_col: str = "name"):
+        """Build from a (target_id, name) DataFrame — the names table form.
+        Collects to the driver: the dictionary is the broadcast-side small
+        dim by construction (10^4-10^6 names, not corpus-sized)."""
+        mapping: dict[str, list[str]] = {}
+        for row in df.select(target_col, name_col).collect():
+            mapping.setdefault(str(row[0]), []).append(str(row[1]))
+        return cls({k: sorted(v) for k, v in mapping.items()})
+
 
 DEFAULT_FILTER_NAMES = FilterNames(
     {

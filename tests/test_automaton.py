@@ -113,3 +113,22 @@ def test_length_grouping_chunks():
     for t, g in zip(texts, got):
         assert g == brute_force(pats, t)
     assert rows.dtype == np.int64 or rows.dtype == np.int32
+
+
+def test_filternames_json_roundtrip_and_df_loader(spark):
+    from streamcorpus_filter_spark.names import DEFAULT_FILTER_NAMES, FilterNames
+
+    fn = DEFAULT_FILTER_NAMES
+    back = FilterNames.from_json(fn.to_json())
+    assert back.target_id_to_names == fn.target_id_to_names
+    assert back.names == fn.names
+
+    rows = [
+        (tid, n)
+        for tid, names in fn.target_id_to_names.items()
+        for n in names
+    ]
+    df = spark.createDataFrame(rows, "target_id string, name string")
+    loaded = FilterNames.from_dataframe(df)
+    assert loaded.names == fn.names
+    assert loaded.name_to_target_ids == fn.name_to_target_ids
