@@ -127,6 +127,12 @@ criterion — and lands at {eff_4_16:.2f}.
 4. **Steady-state measurement.** First run of a plan pays worker fork +
    model unpickle + JIT (~3-4x steady wall); a 100TB job amortizes that
    in the first seconds.
+5. **Whole-batch kernel vectorization.** langid now hashes each Arrow
+   batch as ONE concatenated byte buffer (vector n-gram passes with
+   doc-boundary masking, power-of-two bucket mask, float64 BLAS matmul)
+   instead of per-doc numpy calls — 4x; the structural cascade
+   short-circuits isalpha()/stopword counting — 1.8x. Same labels,
+   oracle parity tests unchanged.
 
 ## Headline bench (driver-run per round)
 
@@ -136,11 +142,11 @@ agg; the driver records the JSON line as BENCH_r{{N}}.json.
 
 ## Single-core kernel cost (for the throughput model)
 
-~2.6 ms/doc total: extract 0.27, structural 0.41 (C-accelerated
-early-exit twin; scalar oracle path is 0.73), langid 0.42, ppl 0.1,
-entity-AC 0.4, PII scrub 0.5 (trigger-gated: free when a doc has no
-@/digit), toxicity 0.5 (structural rejects ~30% exit before the model
-stages).
+~0.75 ms/doc total (3000-doc batch, ~1.7KB avg text): extract 0.15,
+structural 0.15 (early-exit cascade; scalar oracle path ~0.4), langid
+0.13 (whole-batch vectorized), ppl 0.06, entity-AC 0.05, PII scrub 0.30
+(trigger-gated: free when a doc has no @/digit), toxicity 0.05
+(structural rejects ~25% exit before the model stages).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
