@@ -106,7 +106,36 @@ def flagship_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ql_ac_spans")  # offsets: rows-only driver check; pytest checks parity
+def _ac_spans_oracle() -> str:
+    """DuckDB SQL producing every (target, name, begin, end) hit with BYTE
+    offsets: char-position scan (names are ASCII, so char length == byte
+    length for the needle), then the char->byte conversion is
+    octet_length(encode(prefix)). Exact against the automaton including
+    overlapping hits — verified value-identical at sf0.01."""
+    pairs = [
+        (tid, n)
+        for n in DEFAULT_FILTER_NAMES.names
+        for tid in DEFAULT_FILTER_NAMES.name_to_target_ids[n]
+    ]
+    vals = ", ".join(f"('{t}', '{n}')" for t, n in pairs)
+    return f"""
+    WITH pats(target_id, name) AS (VALUES {vals}),
+    d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    hits AS (
+      SELECT d.doc_id, p.target_id, p.name, r.i AS cpos
+      FROM d, pats p,
+           UNNEST(range(1, length(d.lt) - length(p.name) + 2)) AS r(i)
+      WHERE substring(d.lt, CAST(r.i AS BIGINT), length(p.name)) = p.name
+    )
+    SELECT h.doc_id, h.target_id, h.name,
+           CAST(octet_length(encode(substring(d.lt, 1, CAST(h.cpos - 1 AS BIGINT)))) AS INT) AS begin,
+           CAST(octet_length(encode(substring(d.lt, 1, CAST(h.cpos - 1 AS BIGINT))))
+                + octet_length(encode(h.name)) AS INT) AS "end"
+    FROM hits h JOIN d ON h.doc_id = d.doc_id
+    """
+
+
+@register("ql_ac_spans", _ac_spans_oracle())
 def ql_ac_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Rating-annotation analog: every (target, name, begin, end) hit."""
     ac = DEFAULT_FILTER_NAMES.compile()
