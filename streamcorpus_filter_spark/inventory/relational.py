@@ -153,6 +153,57 @@ def join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed",
+    """
+    SELECT o.o_custkey AS custkey, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-located join via bucketing: both sides written once with
+    bucketBy(8, key).sortBy(key), so the join AND the same-key aggregation
+    run with ZERO ShuffleExchange (asserted in test_plan_quality). This is
+    the scale pattern for repeated fact-dim joins at 100TB: pay the
+    bucketed layout once, every subsequent join on the key is
+    exchange-free. Bucketed tables land in the session warehouse
+    (spark-warehouse/), rebuilt only when absent."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf.split("/")[-1])
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    for t, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"bkt_{t}_{tag}"
+        if not spark.catalog.tableExists(name):
+            # the in-memory catalog is per-session but the warehouse dir
+            # persists; clear a stale location before re-creating
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+            (
+                load(spark, sf, t)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    o = spark.table(f"bkt_orders_{tag}")
+    c = spark.table(f"bkt_customer_{tag}")
+    # hint("merge"): at fixture scale AQE would broadcast the dim side,
+    # which hides what bucketing buys; force the sort-merge plan the
+    # bucketed layout makes exchange-free AND sort-free (sorted buckets)
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "join_left_outer",
     """
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,

@@ -81,6 +81,17 @@ def test_small_dim_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """join_bucketed pays the bucketed layout once; the join AND the
+    same-key aggregation must then plan with ZERO ShuffleExchange — the
+    co-located-join contract bucketing exists for."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["join_bucketed"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
 def test_pipeline_reads_no_html_when_text_given(spark):
     """run_quality_pipeline(extract_from_html=False) must never read the
     html column: at 100 TB the raw bytes dominate the table and pruning
