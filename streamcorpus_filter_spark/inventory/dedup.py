@@ -535,6 +535,53 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInPandas(fn, schema="doc_id bigint, feature array<double>, dim int")
 
 
+@register("mm_resize")  # deterministic fake image resize -> rows-only
+def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize plumbing over opaque blobs: interpret the blob as a
+    square byte 'image' (side = floor(sqrt(len))), block-mean it down to
+    a fixed 8x8 thumbnail (STUB for a real PIL/cv2 resize — absent in
+    this environment), return the 64-byte thumbnail as binary plus typed
+    source/target dims. The Spark-side reality: binary-in/binary-out
+    Arrow batching with per-row metadata, the shape every real media
+    resize stage has."""
+    DST = 8
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs: list[bytes] = []
+            sides: list[int] = []
+            for blob in pdf["blob"]:
+                b = blob if isinstance(blob, (bytes, bytearray)) else b""
+                side = max(int(len(b) ** 0.5), 1)
+                a = np.frombuffer(b[: side * side], dtype=np.uint8)
+                if a.size < side * side:
+                    a = np.pad(a, (0, side * side - a.size))
+                img = a.reshape(side, side).astype(np.float64)
+                # STUB resize: block-mean via split indices (any side size)
+                ys = np.array_split(np.arange(side), DST)
+                xs = np.array_split(np.arange(side), DST)
+                thumb = np.array(
+                    [[img[np.ix_(y, x)].mean() if y.size and x.size else 0.0 for x in xs] for y in ys]
+                )
+                thumbs.append(np.round(thumb).astype(np.uint8).tobytes())
+                sides.append(side)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "src_side": pd.array(sides, dtype="int32"),
+                    "dst_side": pd.array([DST] * len(sides), dtype="int32"),
+                }
+            )
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return d.mapInPandas(
+        fn, schema="doc_id bigint, thumb binary, src_side int, dst_side int"
+    )
+
+
 @register("mm_frame_sample")  # deterministic fake frame decode -> rows-only
 def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video-style frame sampling over opaque blobs: each blob yields up to

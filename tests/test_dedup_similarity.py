@@ -140,3 +140,16 @@ def _rolling_fn():
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "min_fp": pd.array(out, dtype="int64")})
 
     return fn
+
+
+def test_resize_thumb_shape_and_determinism(spark, reg):
+    rows = reg.QUERIES["mm_resize"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert len(r.thumb) == 64  # 8x8 thumbnail bytes
+        assert r.dst_side == 8
+        assert r.src_side >= 1
+    again = reg.QUERIES["mm_resize"](spark, SF_SMALL).collect()
+    assert sorted((r.doc_id, r.thumb) for r in rows) == sorted(
+        (r.doc_id, r.thumb) for r in again
+    )
