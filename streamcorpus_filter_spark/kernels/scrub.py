@@ -18,15 +18,18 @@ from __future__ import annotations
 
 import re
 
+# re.ASCII: \d means [0-9] exactly — matching the byte-level reference
+# semantics (a C scanner never matches Unicode digits) and measurably
+# faster; the classes are otherwise ASCII-explicit already.
 SCRUB_RULES: list[tuple[str, re.Pattern[str], str]] = [
-    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"), "<EMAIL>"),
-    ("ssn", re.compile(r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)"), "<SSN>"),
+    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}", re.ASCII), "<EMAIL>"),
+    ("ssn", re.compile(r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", re.ASCII), "<SSN>"),
     (
         "phone",
-        re.compile(r"(?<![\d+])(?:\+?1[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}(?!\d)"),
+        re.compile(r"(?<![\d+])(?:\+?1[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}(?!\d)", re.ASCII),
         "<PHONE>",
     ),
-    ("ipv4", re.compile(r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])"), "<IP>"),
+    ("ipv4", re.compile(r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])", re.ASCII), "<IP>"),
 ]
 
 
