@@ -134,6 +134,17 @@ criterion — and lands at {eff_4_16:.2f}.
    short-circuits isalpha()/stopword counting — 1.8x. Same labels,
    oracle parity tests unchanged.
 
+## Input-size scaling and measurement variance
+
+Same pipeline at local[32] over a 4x corpus (480k pages, 980MB parquet,
+2.0GB payload): best-observed 15.6k docs/s (in-session) / 11.1k
+(fresh-subprocess protocol) vs 16.0k at 120k pages — throughput is
+flat-to-slightly-down in input size; raw scan is not the limit (the
+480k corpus scans at ~470 MB/s cold, ~2.0 GB/s warm). Caveat for all
+numbers in this file: the sandbox is a Firecracker VM and identical
+back-to-back runs of the same job swing up to 2x (host steal bursts);
+every table reports best-of-N as the steady-state estimate.
+
 ## Headline bench (driver-run per round)
 
 `python bench.py` at sf0.1 / local[32] times pipeline, flagship AC-match
