@@ -187,12 +187,14 @@ def main() -> None:
                 )
             )
 
-    # best-of-2 per query: the first execution of a plan still pays JIT /
-    # codegen / shuffle-file warmth the steady-state job never sees again
+    # best-of-3 per query: the first execution of a plan still pays JIT /
+    # codegen / shuffle-file warmth the steady-state job never sees again,
+    # and the sandbox VM adds up-to-2x host-steal bursts on single runs
+    # (BENCH/BASELINE.md "measurement variance")
     times: dict[str, float] = {}
     for name in selected:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             bench[name]()
             best = min(best, time.perf_counter() - t0)
