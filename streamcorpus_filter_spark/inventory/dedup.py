@@ -21,9 +21,6 @@ from ..operators.dedup import (
     cosine_expr,
     hamming64_expr,
     jaccard_pairs,
-    verify_pairs_jaccard,
-    lsh_candidate_pairs,
-    minhash_signatures,
     simhash_fn,
     word_shingles,
 )
@@ -95,26 +92,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", threshold=0.2)
 
 
+_MINHASH_TOK = r"[ \\t\\n\\r\\f\\x0B]+"
+
+
+def _minhash_sql(n_perm: int = 32, bands: int = 16, threshold: float = 0.2) -> str:
+    """The MinHash+LSH query as ONE generated SQL string. Semantically
+    identical to the DataFrame composition in operators/dedup.py (same
+    xxhash64 expressions, verified identical output at sf0.1) but built
+    in a single spark.sql parse: the DataFrame form's ~200 Column-API
+    calls cost 1.4s of Py4J round-trips per invocation — 40% of the
+    query's wall time — vs ~0.2s for one SQL parse.
+
+    Plan notes (measured, also apply to the SQL form): keep the shingle
+    expression inline in the explode (naming the array and exploding
+    later trips InferFiltersFromGenerate, whose inferred size()>0 filter
+    gets the whole expression re-inlined and evaluated twice per row —
+    8x); the explode+partial-min-agg shape shuffles ~1 row/doc
+    (map-side combine); a row-local array_min(transform) variant is 10x
+    slower (interpreted HOF hashing, no codegen)."""
+    rows = n_perm // bands
+    hash_cols = ", ".join(
+        f"xxhash64(concat('{i}|', shingle)) AS h{i}" for i in range(n_perm)
+    )
+    min_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(n_perm))
+    band_structs = ", ".join(
+        "named_struct('band', {bi}, 'bh', xxhash64(concat_ws(',', {parts})))".format(
+            bi=bi,
+            parts=", ".join(f"cast(m{bi * rows + j} AS string)" for j in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH twinned AS (
+      SELECT doc_id, text FROM docs_v
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_join(slice(filter(split(text, '{_MINHASH_TOK}'), x -> x != ''), 1, 40), ' ') AS text
+      FROM docs_v WHERE doc_id % 10 = 0
+    ),
+    toks AS (SELECT doc_id, filter(split(text, '{_MINHASH_TOK}'), x -> x != '') AS t FROM twinned),
+    sh AS (
+      SELECT doc_id,
+             explode(array_distinct(transform(sequence(1, greatest(size(t) - 2, 0)),
+                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))) AS shingle
+      FROM toks
+    ),
+    hashed AS (SELECT doc_id, {hash_cols} FROM sh),
+    sigs AS (SELECT doc_id, {min_cols} FROM hashed GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, bb.band AS band, bb.bh AS bh
+      FROM sigs LATERAL VIEW explode(array({band_structs})) t AS bb
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    sets AS (SELECT doc_id, collect_set(shingle) AS shset FROM sh GROUP BY doc_id)
+    SELECT a, b, round(jac, 6) AS jaccard FROM (
+      SELECT a, b,
+             size(array_intersect(sa.shset, sb.shset)) /
+             CAST(size(sa.shset) + size(sb.shset) - size(array_intersect(sa.shset, sb.shset)) AS DOUBLE) AS jac
+      FROM cands JOIN sets sa ON cands.a = sa.doc_id JOIN sets sb ON cands.b = sb.doc_id
+    ) WHERE jac >= {threshold}
+    """
+
+
 @register("dedup_minhash_lsh")  # xxhash sketches are engine-specific -> rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash (32 perms) + LSH banding (16 bands x 2 rows, ~certain
-    recall above j~0.5) candidate pairs,
-    verified by exact Jaccard — the linear-time near-dup path at scale.
-    pytest checks recall vs the exact pairs on planted twins.
-
-    Plan note (measured): keep the shingle expression INLINE in the
-    explode — naming it as an array column and exploding later trips
-    InferFiltersFromGenerate, whose inferred size()>0 filter gets the
-    whole shingle expression re-inlined by projection collapse and
-    evaluated twice per row (8x wall-time regression at sf0.1). The
-    explode+partial-min-agg shape shuffles only ~1 row/doc (map-side
-    combine), so it scales; a "row-local" array_min(transform) variant
-    is 10x slower (interpreted HOF hashing, no codegen)."""
-    t = _twinned(spark, sf)
-    sh = word_shingles(t, "doc_id", "text", k=3)
-    sigs = minhash_signatures(sh, "doc_id", n_perm=32)
-    cands = lsh_candidate_pairs(sigs, "doc_id", n_perm=32, bands=16)
-    return verify_pairs_jaccard(cands, sh, "doc_id", threshold=0.2)
+    recall above j~0.5) candidate pairs, verified by exact Jaccard on the
+    candidates only — the linear-time near-dup path at scale. pytest
+    checks recall vs the exact pairs on planted twins; see _minhash_sql
+    for why this query is generated SQL rather than Column-API calls."""
+    load(spark, sf, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(_minhash_sql(n_perm=32, bands=16, threshold=0.2))
 
 
 @register("dedup_simhash")  # custom bit sketch -> rows-only
