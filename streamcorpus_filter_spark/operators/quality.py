@@ -312,6 +312,33 @@ def extract_fn(html_col: str = "html", out_col: str = "text"):
 
 # ------------------------------------------------------------- the pipeline
 
+_BC_CACHE: dict[str, object] = {}
+
+
+def _broadcast_models(spark: SparkSession):
+    """Broadcast the four model artifacts once per Spark application —
+    repeated pipeline invocations reuse the same broadcast ids instead of
+    re-pickling MBs of model arrays per call (and per-worker lazy
+    deserialization stays warm, since the broadcast id is what keys it)."""
+    key = spark.sparkContext.applicationId
+    if _BC_CACHE.get("app") != key:
+        from ..models import (
+            default_charlm,
+            default_langid,
+            pages_automaton,
+            toxic_automaton,
+        )
+
+        sc = spark.sparkContext
+        _BC_CACHE["app"] = key
+        _BC_CACHE["bcs"] = (
+            sc.broadcast(default_langid()),
+            sc.broadcast(default_charlm()),
+            sc.broadcast(pages_automaton()),
+            sc.broadcast(toxic_automaton()),
+        )
+    return _BC_CACHE["bcs"]
+
 
 def run_quality_pipeline(
     spark: SparkSession,
@@ -341,18 +368,8 @@ def run_quality_pipeline(
     as one task no matter what this reports, so test fixtures must be
     written with real row groups (synth.write_pages_parquet does).
     """
-    from ..models import (
-        default_charlm,
-        default_langid,
-        pages_automaton,
-        toxic_automaton,
-    )
-
     sc = spark.sparkContext
-    bc_lang = sc.broadcast(default_langid())
-    bc_lm = sc.broadcast(default_charlm())
-    bc_ent = sc.broadcast(pages_automaton())
-    bc_tox = sc.broadcast(toxic_automaton())
+    bc_lang, bc_lm, bc_ent, bc_tox = _broadcast_models(spark)
 
     want = (
         min_partitions if min_partitions is not None else 2 * sc.defaultParallelism
