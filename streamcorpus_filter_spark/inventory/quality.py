@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..kernels import rules
 from ..operators.quality import with_structural_signals
-from ..queries import load, register
+from ..queries import cached_broadcast, load, register
 
 # ---------------------------------------------------------------- SQL spec
 # DuckDB expressions implementing the same rules.py signal spec for the
@@ -245,7 +245,7 @@ def ql_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
     from ..kernels.scrub import boundary_ok, mask_spans
     from ..models import toxic_automaton
 
-    bc = spark.sparkContext.broadcast(toxic_automaton())
+    bc = cached_broadcast(spark, "toxic_ac", toxic_automaton)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = bc.value
@@ -386,7 +386,7 @@ def ql_langid(spark: SparkSession, sf: str) -> DataFrame:
     """fastText-style langid over fixture text (model output; rows-only)."""
     from ..models import default_langid
 
-    bc = spark.sparkContext.broadcast(default_langid())
+    bc = cached_broadcast(spark, "langid", default_langid)
 
     @F.pandas_udf("struct<lang_pred: string, lang_conf: double>")
     def score(s: pd.Series) -> pd.DataFrame:
@@ -408,7 +408,7 @@ def ql_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """Char-trigram LM perplexity over fixture text (rows-only)."""
     from ..models import default_charlm
 
-    bc = spark.sparkContext.broadcast(default_charlm())
+    bc = cached_broadcast(spark, "charlm", default_charlm)
 
     @F.pandas_udf("double")
     def ppl(s: pd.Series) -> pd.Series:
