@@ -153,7 +153,12 @@ def stream_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
 def stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful operator: running per-user counters via
     applyInPandasWithState (the per-host running-state shape). One input
-    batch -> one emission per key, equal to the batch aggregate."""
+    batch -> one emission per key, equal to the batch aggregate.
+
+    (Spark 4's newer transformWithStateInPandas was tried and is
+    environment-blocked here: its streaming python runner needs the
+    google.protobuf runtime, absent from this sandbox and uninstallable —
+    swap this stage to a StatefulProcessor on a real cluster.)"""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
