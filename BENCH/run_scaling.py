@@ -127,7 +127,13 @@ criterion — and lands at {eff_4_16:.2f}.
 4. **Steady-state measurement.** First run of a plan pays worker fork +
    model unpickle + JIT (~3-4x steady wall); a 100TB job amortizes that
    in the first seconds.
-5. **Whole-batch kernel vectorization.** langid now hashes each Arrow
+5. **Py4J plan-build cost is real for wide plans.** Building the
+   MinHash query via ~200 Column-API calls (32 hash columns, 16 band
+   structs, HOF lambdas) cost 1.4s of driver-side Py4J round-trips per
+   invocation — 40% of its wall time; generating the SAME query as one
+   SQL string parsed in a single call cut that to 0.2s. Wide generated
+   plans should be built as SQL text, not Column objects.
+6. **Whole-batch kernel vectorization.** langid now hashes each Arrow
    batch as ONE concatenated byte buffer (vector n-gram passes with
    doc-boundary masking, power-of-two bucket mask, float64 BLAS matmul)
    instead of per-doc numpy calls — 4x; the structural cascade
