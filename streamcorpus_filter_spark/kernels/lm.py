@@ -20,9 +20,12 @@ ALPHA = 0.1
 
 
 def _ctx_hashes(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # B2/B3 are powers of two and values non-negative: & == % without the
+    # 64-bit division (same trick as langid.ngram_hashes; the scalar
+    # oracle path keeps % — identical values either way)
     ctx = a[:-2] * 31 + a[1:-1]
-    h3 = (ctx * 31 + a[2:]) % B3
-    return ctx % B2, h3
+    h3 = (ctx * 31 + a[2:]) & (B3 - 1)
+    return ctx & (B2 - 1), h3
 
 
 class CharLM:
