@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 
@@ -131,13 +132,15 @@ def run(
     mdir = pathlib.Path(table) / "metrics" / manifest["snapshot_id"]
     lineage.coalesce(1).write.mode("errorifexists").parquet(str(mdir))
 
-    # fold observed metrics into the manifest (rewrite in place is fine:
-    # the manifest only becomes the parent of future snapshots)
-    mpath = sorted((pathlib.Path(table) / "snapshots").glob(
-        f"*-{manifest['snapshot_id']}.json"
-    ))[0]
+    # fold observed metrics into the committed manifest — via tmp +
+    # os.rename, mirroring SnapshotCatalog.append's commit protocol: a
+    # crash mid-rewrite must not leave truncated JSON (which would break
+    # every later snapshots()/processed_inputs()/--resume read)
+    mpath = pathlib.Path(table) / "snapshots" / f"{manifest['sequence']:08d}.json"
     manifest["metrics"] = metrics
-    mpath.write_text(json.dumps(manifest, indent=2))
+    mtmp = mpath.with_name(f".tmp-metrics-{manifest['snapshot_id']}")
+    mtmp.write_text(json.dumps(manifest, indent=2))
+    os.rename(mtmp, mpath)
 
     return {
         "status": "committed",

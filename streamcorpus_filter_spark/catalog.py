@@ -44,7 +44,9 @@ class SnapshotCatalog:
     Layout:
       root/data/<snapshot_id>/...parquet   (one dir per snapshot; the
                                             partitionBy dirs live inside)
-      root/snapshots/<seq>-<id>.json       (manifest chain)
+      root/snapshots/<seq>.json            (manifest chain; the filename
+                                            is the optimistic-commit claim
+                                            on that sequence number)
     """
 
     def __init__(self, root: str) -> None:
@@ -81,8 +83,6 @@ class SnapshotCatalog:
         no manifest references (readers never see partial output), which
         is the same commit protocol Iceberg uses (metadata swap last).
         """
-        parent = self.latest_snapshot()
-        seq = (parent["sequence"] + 1) if parent else 0
         snap_id = uuid.uuid4().hex[:16]
         data_dir = self.root / "data" / snap_id
         w = df.write.mode("errorifexists")
@@ -90,6 +90,8 @@ class SnapshotCatalog:
             w = w.partitionBy(*partition_by)
         w.parquet(str(data_dir))
 
+        parent = self.latest_snapshot()
+        seq = (parent["sequence"] + 1) if parent else 0
         manifest = {
             "sequence": seq,
             "snapshot_id": snap_id,
@@ -105,11 +107,28 @@ class SnapshotCatalog:
             # keeping them in PartitionFilters for file-level pruning
             "schema_json": df.schema.json(),
         }
+        # Optimistic commit (the Iceberg protocol this seam maps onto):
+        # the manifest filename is keyed by sequence ALONE, and the final
+        # name is claimed with os.link — which, unlike os.rename, fails
+        # with EEXIST if another writer already committed that sequence.
+        # On collision we re-read the new latest snapshot, re-parent, bump
+        # the sequence, and retry — so two concurrent appends serialize
+        # into parent->child instead of one silently shadowing the other.
         tmp = self.root / "snapshots" / f".tmp-{snap_id}"
-        final = self.root / "snapshots" / f"{seq:08d}-{snap_id}.json"
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.rename(tmp, final)
-        return manifest
+        for _attempt in range(100):
+            manifest["sequence"] = seq
+            manifest["parent_id"] = parent["snapshot_id"] if parent else None
+            tmp.write_text(json.dumps(manifest, indent=2))
+            final = self.root / "snapshots" / f"{seq:08d}.json"
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                parent = self.latest_snapshot()
+                seq = (parent["sequence"] + 1) if parent else seq + 1
+                continue
+            os.unlink(tmp)
+            return manifest
+        raise RuntimeError("snapshot commit contention: 100 retries exhausted")
 
     # ---------------------------------------------------------------- read
 

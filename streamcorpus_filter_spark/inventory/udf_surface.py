@@ -30,18 +30,23 @@ from ..queries import load, register
     "udf_scalar_pandas",
     """
     SELECT doc_id,
-           length(regexp_replace(text, '\\s+', ' ', 'g')) AS folded_len
+           length(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS folded_len
     FROM documents
     """,
 )
 def udf_scalar_pandas(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar pandas UDF (Series -> Series): whitespace-fold length.
     pandas' vectorized .str engine on the Arrow batch; no per-row Spark
-    rows are materialized."""
+    rows are materialized. Both sides fold on the pinned ASCII whitespace
+    class (kernels/rules.py tokenization spec): Python-regex \\s is
+    Unicode (NBSP, ideographic space) while DuckDB's RE2 \\s is
+    ASCII-only, so an unpinned \\s would diverge on non-ASCII spaces."""
 
     @F.pandas_udf("int")
     def folded_len(s: pd.Series) -> pd.Series:
-        return s.str.replace(r"\s+", " ", regex=True).str.len().astype("int32")
+        return (
+            s.str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.len().astype("int32")
+        )
 
     return load(spark, sf, "documents").select(
         "doc_id", folded_len("text").alias("folded_len")

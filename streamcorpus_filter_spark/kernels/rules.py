@@ -127,14 +127,6 @@ def structural_signals(text: str) -> dict[str, float]:
 
 
 # --- fast batch path (the Spark fused-kernel implementation) --------------
-# One regex scan counts tokens containing a letter: a match consumes a
-# whole token iff it has >=1 letter char ([^\W\d_]) and cannot cross the
-# whitespace class. Agrees with the scalar any(isalpha) on every token in
-# the corpus (asserted in tests/test_rules_fast.py); the DuckDB and JVM
-# twins already use their own engine letter classes the same way.
-_ALPHA_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]*[^\W\d_][^ \t\n\r\f\v]*")
-# per-token fallback for the isalpha() fast path below: any letter char
-_HAS_LETTER_RE = re.compile(r"[^\W\d_]")
 # findall of non-whitespace runs == split on the class + drop empties,
 # in one C pass with no empty-string garbage (measured ~1.5x)
 _TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
@@ -165,11 +157,12 @@ def structural_reason_fast(text: str) -> str | None:
         return "gopher_bullet"
     if sum(1 for ln in lns if ln.endswith(ELLIPSIS_SUFFIXES)) / n_lines > MAX_ELLIPSIS_LINE_FRAC:
         return "gopher_ellipsis"
-    # isalpha() short-circuits the regex for the overwhelmingly common
-    # pure-letter token; same per-token predicate, exact same count
-    alpha = sum(
-        1 for t in toks if t.isalpha() or _HAS_LETTER_RE.search(t) is not None
-    )
+    # t.isalpha() short-circuits the char scan for the overwhelmingly
+    # common pure-letter token; the fallback is the SAME predicate the
+    # scalar spec uses (any(c.isalpha())), not a regex class — Python's
+    # [^\W\d_] also matches \w-but-not-alpha chars (superscripts like
+    # '²', No/Nl numerics), which would silently diverge from the spec
+    alpha = sum(1 for t in toks if t.isalpha() or any(map(str.isalpha, t)))
     if alpha / nw < MIN_ALPHA_WORD_FRAC:
         return "gopher_alpha"
     # the rule only needs "are there >= MIN_STOPWORDS" — stop counting at

@@ -141,3 +141,33 @@ def test_partitioned_write_layout(spark, pages_dir, tmp_path):
     assert dict(df.dtypes)["ds"] == "date"
     plan = df.where("keep = true")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(keep" in plan
+
+
+def test_concurrent_append_collision_serializes(spark, tmp_path):
+    """Two writers that both read the same parent must serialize into a
+    parent->child chain (optimistic commit via os.link), not silently
+    shadow each other with the same sequence number."""
+    table = str(tmp_path / "t")
+    df = spark.range(3).toDF("v")
+    m0 = SnapshotCatalog(table).append(df)
+
+    # second writer with a stale view: its first latest_snapshot() call
+    # (pre-commit read) sees the table as it was before m0 committed
+    stale = SnapshotCatalog(table)
+    real = stale.latest_snapshot
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        return None if calls["n"] == 1 else real()
+
+    stale.latest_snapshot = stale_once  # type: ignore[method-assign]
+    m1 = stale.append(df)
+
+    assert m0["sequence"] == 0 and m1["sequence"] == 1
+    assert m1["parent_id"] == m0["snapshot_id"]
+    cat = SnapshotCatalog(table)
+    assert [s["snapshot_id"] for s in cat.snapshots()] == [
+        m0["snapshot_id"], m1["snapshot_id"],
+    ]
+    assert cat.read(spark).count() == 6

@@ -23,17 +23,20 @@ def test_fast_reason_matches_scalar_on_corpus():
         assert rules.structural_reason_fast(t) == _scalar_reason(t), f"doc {i}"
 
 
-def test_fast_alpha_token_scan_matches_isalpha_on_corpus():
-    """The one-scan letter-token regex must count exactly the tokens the
-    scalar any(isalpha) counts, token class by token class."""
-    from streamcorpus_filter_spark.synth import make_pages
-
-    for t in make_pages(500, seed=7)["text"]:
-        fast = len(rules._ALPHA_TOKEN_RE.findall(t))
-        scalar = sum(
-            1 for tok in rules.tokens(t) if any(c.isalpha() for c in tok)
-        )
-        assert fast == scalar, t[:80]
+def test_fast_reason_matches_scalar_on_unicode_numerics():
+    """\\w-but-not-alpha chars (superscripts, No/Nl numerics) must not count
+    as letters in the fast path — the exact divergence a [^\\W\\d_] regex
+    class would introduce vs the scalar any(isalpha) spec."""
+    weird = "x² Ⅳ ½ ² ³ 壹"  # isalpha(): False for ² ½ Ⅳ (No/Nl), True for 壹 (Lo)
+    for filler in ["", "the and was for it. " * 20]:
+        t = (weird + " ") * 30 + filler
+        assert rules.structural_reason_fast(t) == _scalar_reason(t)
+    # direct count parity on tokens mixing letters/digits/numerics
+    toks = ["²", "x²", "123", "Ⅳ", "a1", "_", "½½", "壹"]
+    spec = sum(1 for tok in toks if any(c.isalpha() for c in tok))
+    text = " ".join(toks)
+    sigs = rules.structural_signals(text)
+    assert abs(sigs["alpha_frac"] - spec / len(toks)) < 1e-12
 
 
 @pytest.mark.parametrize(
