@@ -66,14 +66,26 @@ def dedup_exact_hash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# document-frequency cap for the exact shingle self-join: shingles seen in
+# more than this many docs are dropped before the join (hot-key guard; see
+# operators/dedup.py jaccard_pairs). Mirrored in the oracle SQL below.
+MAX_SHINGLE_DF = 64
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH t AS ({_TWINNED}),
     w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM t),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
       FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) WHERE df <= {MAX_SHINGLE_DF}
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -87,9 +99,11 @@ def dedup_exact_hash(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs on the twinned corpus."""
+    """Exact word-3-gram Jaccard near-dup pairs on the twinned corpus,
+    with the df > {MAX_SHINGLE_DF} hot-shingle cap active on both engines
+    (exact Jaccard over the capped/informative shingle space)."""
     sh = word_shingles(_twinned(spark, sf), "doc_id", "text", k=3)
-    return jaccard_pairs(sh, "doc_id", threshold=0.2)
+    return jaccard_pairs(sh, "doc_id", threshold=0.2, max_df=MAX_SHINGLE_DF)
 
 
 _MINHASH_TOK = r"[ \\t\\n\\r\\f\\x0B]+"
@@ -573,13 +587,19 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
         chunks = np.array_split(a.astype(np.float64), 8)
         return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
+    import json
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [_fake_decode(b if isinstance(b, (bytes, bytearray)) else b"") for b in pdf["blob"]]
+            # feature vector serialized as a JSON string, not array<double>:
+            # the driver canonicalizes rows-only outputs with a pandas
+            # sort_values, which cannot factorize list cells — strings sort
+            # and hash fine, and json.loads round-trips losslessly
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "feature": [np.round(f, 6).tolist() for f in feats],
+                    "feature": [json.dumps(np.round(f, 6).tolist()) for f in feats],
                     "dim": pd.array([len(f) for f in feats], dtype="int32"),
                 }
             )
@@ -587,7 +607,7 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
-    return d.mapInPandas(fn, schema="doc_id bigint, feature array<double>, dim int")
+    return d.mapInPandas(fn, schema="doc_id bigint, feature string, dim int")
 
 
 @register("mm_resize")  # deterministic fake image resize -> rows-only
@@ -647,6 +667,8 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     Arrow stage, per-frame typed metadata, and downstream per-frame
     feature columns. Swap the window slice for a real decoder on a
     cluster."""
+    import json
+
     N_FRAMES, FRAME_BYTES = 4, 256
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -654,7 +676,7 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
             ids: list[int] = []
             idxs: list[int] = []
             offs: list[int] = []
-            feats: list[list[float]] = []
+            feats: list[str] = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = blob if isinstance(blob, (bytes, bytearray)) else b""
                 n = max(1, min(N_FRAMES, len(b) // FRAME_BYTES or 1))
@@ -667,7 +689,8 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                     ids.append(doc_id)
                     idxs.append(fi)
                     offs.append(off)
-                    feats.append(np.round(hist, 6).tolist())
+                    # JSON string, not array<double> — see mm_decode_features
+                    feats.append(json.dumps(np.round(hist, 6).tolist()))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(ids, dtype="int64"),
@@ -682,5 +705,5 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
     return d.mapInPandas(
         fn,
-        schema="doc_id bigint, frame_idx int, byte_offset bigint, frame_feat array<double>",
+        schema="doc_id bigint, frame_idx int, byte_offset bigint, frame_feat string",
     )

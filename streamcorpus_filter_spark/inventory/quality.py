@@ -378,12 +378,94 @@ def ql_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------------------- rows-only
+# ---------------------------------------------------- model-output oracles
+# The langid / perplexity kernels were rows-only in round 1 ("model
+# outputs are not SQL-expressible"). They ARE expressible: the trained
+# model is just numbers, and the fixture corpus is ASCII, so the DuckDB
+# oracle below re-derives the byte stream with ascii(substring(...)),
+# re-hashes the 1/2/3-grams with the same integer arithmetic, and
+# recomputes the NB argmax / LM log-likelihood from the model weights
+# inlined as VALUES (only the ~3k seen buckets; unseen buckets collapse
+# to a per-lang constant). This is a full independent recomputation —
+# pandas/numpy batch kernel vs pure SQL — not a frozen-output snapshot.
+
+# shared byte/gram CTE: one row per byte of lower(text), plus the next
+# two bytes via lead() windows (ASCII corpus: ascii(char) == utf-8 byte)
+_BYTES_CTE = """
+    b AS (
+      SELECT doc_id, i,
+             ascii(substring(lower(text), CAST(i AS BIGINT), 1)) AS b0,
+             lead(ascii(substring(lower(text), CAST(i AS BIGINT), 1)), 1)
+               OVER (PARTITION BY doc_id ORDER BY i) AS b1,
+             lead(ascii(substring(lower(text), CAST(i AS BIGINT), 1)), 2)
+               OVER (PARTITION BY doc_id ORDER BY i) AS b2
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+    )
+"""
 
 
-@register("ql_langid")
+def _fmt(v: float) -> str:
+    return repr(float(v))
+
+
+def _langid_oracle() -> str:
+    """NB argmax + softmax confidence recomputed in SQL from the trained
+    weights (kernels/langid.py LangIdModel.score_batch spec)."""
+    import numpy as np
+
+    from ..kernels.langid import CONF_SCALE, N_BUCKETS
+    from ..models import default_langid
+
+    m = default_langid()
+    w_rows, base_rows = [], []
+    for li, lang in enumerate(m.langs):
+        row = m.logp[li]
+        base = float(row.min())  # the unseen-bucket value -log(total+B)
+        base_rows.append(f"('{lang}', {_fmt(base)})")
+        for h in np.nonzero(row > base)[0]:
+            w_rows.append(f"('{lang}', {int(h)}, {_fmt(float(row[h]) - base)})")
+    return f"""
+    WITH {_BYTES_CTE},
+    g AS (
+      SELECT doc_id, b0 % {N_BUCKETS} AS h FROM b
+      UNION ALL
+      SELECT doc_id, (b0 * 31 + b1) % {N_BUCKETS} FROM b WHERE b1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, ((b0 * 31 + b1) * 31 + b2) % {N_BUCKETS}
+      FROM b WHERE b2 IS NOT NULL
+    ),
+    c AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY doc_id, h),
+    ng AS (SELECT doc_id, sum(c) AS n_grams FROM c GROUP BY doc_id),
+    w(l, h, delta) AS (VALUES {', '.join(w_rows)}),
+    base(l, b) AS (VALUES {', '.join(base_rows)}),
+    score AS (
+      SELECT c.doc_id, base.l,
+             (coalesce(sum(c.c * w.delta), 0.0)
+              + any_value(ng.n_grams) * base.b) / any_value(ng.n_grams) AS avg_ll
+      FROM c
+      CROSS JOIN base
+      LEFT JOIN w ON w.l = base.l AND w.h = c.h
+      JOIN ng ON ng.doc_id = c.doc_id
+      GROUP BY c.doc_id, base.l, base.b
+    ),
+    soft AS (
+      SELECT doc_id, l,
+             exp({CONF_SCALE} * avg_ll
+                 - max({CONF_SCALE} * avg_ll) OVER (PARTITION BY doc_id)) AS e,
+             row_number() OVER (PARTITION BY doc_id ORDER BY avg_ll DESC, l)
+               AS rn
+      FROM score
+    )
+    SELECT doc_id, l AS lang_pred,
+           round(e / (sum(e) OVER (PARTITION BY doc_id)), 6) AS lang_conf
+    FROM soft QUALIFY rn = 1
+    """
+
+
+@register("ql_langid", None)  # oracle attached below (needs trained model)
 def ql_langid(spark: SparkSession, sf: str) -> DataFrame:
-    """fastText-style langid over fixture text (model output; rows-only)."""
+    """fastText-style langid over fixture text; value-checked against the
+    SQL weight-table recomputation in _langid_oracle."""
     from ..models import default_langid
 
     bc = cached_broadcast(spark, "langid", default_langid)
@@ -399,13 +481,50 @@ def ql_langid(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return d.select("doc_id", score(F.col("text")).alias("s")).select(
-        "doc_id", "s.lang_pred", "s.lang_conf"
+        "doc_id", "s.lang_pred", F.round("s.lang_conf", 6).alias("lang_conf")
     )
 
 
-@register("ql_perplexity")
+def _perplexity_oracle() -> str:
+    """Char-trigram LM perplexity recomputed in SQL from the trained count
+    tables (kernels/lm.py CharLM.ppl spec): ppl = exp(-avg(ln(c3+a) -
+    ln(c2+256a))) over byte trigrams."""
+    import numpy as np
+
+    from ..kernels.lm import ALPHA, B2, B3
+    from ..models import default_charlm
+
+    lm = default_charlm()
+    c2_rows = [
+        f"({int(h)}, {int(lm.c2[h])})" for h in np.nonzero(lm.c2 > 0)[0]
+    ]
+    c3_rows = [
+        f"({int(h)}, {int(lm.c3[h])})" for h in np.nonzero(lm.c3 > 0)[0]
+    ]
+    return f"""
+    WITH {_BYTES_CTE},
+    h AS (
+      SELECT doc_id,
+             (b0 * 31 + b1) % {B2} AS h2,
+             ((b0 * 31 + b1) * 31 + b2) % {B3} AS h3
+      FROM b WHERE b2 IS NOT NULL
+    ),
+    c2(h, c) AS (VALUES {', '.join(c2_rows)}),
+    c3(h, c) AS (VALUES {', '.join(c3_rows)}),
+    ll AS (
+      SELECT doc_id,
+             ln(coalesce(c3.c, 0) + {ALPHA!r})
+             - ln(coalesce(c2.c, 0) + {ALPHA * 256!r}) AS ll
+      FROM h LEFT JOIN c3 ON c3.h = h.h3 LEFT JOIN c2 ON c2.h = h.h2
+    )
+    SELECT doc_id, round(exp(-avg(ll)), 6) AS ppl FROM ll GROUP BY doc_id
+    """
+
+
+@register("ql_perplexity", None)  # oracle attached below
 def ql_perplexity(spark: SparkSession, sf: str) -> DataFrame:
-    """Char-trigram LM perplexity over fixture text (rows-only)."""
+    """Char-trigram LM perplexity over fixture text; value-checked against
+    the SQL count-table recomputation in _perplexity_oracle."""
     from ..models import default_charlm
 
     bc = cached_broadcast(spark, "charlm", default_charlm)
@@ -419,6 +538,12 @@ def ql_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "documents").select(
         "doc_id", F.round(ppl(F.col("text")), 6).alias("ppl")
     )
+
+
+from ..queries import ORACLE_SQL as _OS  # noqa: E402
+
+_OS["ql_langid"] = _langid_oracle()
+_OS["ql_perplexity"] = _perplexity_oracle()
 
 
 @register("ql_pipeline_full")

@@ -577,6 +577,52 @@ def skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_aqe_join",
+    """
+    WITH li AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey % 50 END AS k,
+             CAST(l_quantity AS DOUBLE) AS q
+      FROM lineitem
+    ),
+    dim AS (SELECT i AS k, i * 2 + 1 AS w FROM range(0, 50) t(i))
+    SELECT li.k AS k, count(*) AS rows_joined,
+           round(sum(li.q * dim.w), 4) AS weighted_qty
+    FROM li JOIN dim ON li.k = dim.k
+    GROUP BY li.k
+    """,
+)
+def skew_aqe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewed sort-merge join for AQE's skew-join splitter: ~80% of the
+    fact side lands on key 0 (a hot url-host in the pipeline's terms), and
+    the merge hint keeps the join a shuffle join so
+    spark.sql.adaptive.skewJoin can split the oversized partition at
+    runtime (broadcast would hide the skew, not handle it). The dim side
+    is a plain range (shuffle directly under the join's Sort) because
+    OptimizeSkewedJoin pattern-matches SMJ(Sort(Shuffle), Sort(Shuffle))
+    — an aggregate between Sort and Shuffle opts the join out. The result
+    is conf-independent; tests/test_plan_quality.py runs this same plan
+    with skew thresholds scaled down to the fixture size and asserts the
+    executed plan carries the skew=true SMJ marker."""
+    li = load(spark, sf, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 50)
+        .alias("k"),
+        F.col("l_quantity").cast("double").alias("q"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("w")
+    )
+    return (
+        li.join(dim.hint("merge"), "k")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("rows_joined"),
+            F.round(F.sum(F.col("q") * F.col("w")), 4).alias("weighted_qty"),
+        )
+    )
+
+
 # ------------------------------------------------------------- §2.7 windows
 
 

@@ -32,12 +32,20 @@ EVENTS_SCHEMA = (
 )
 
 
+_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _stage_events(spark: SparkSession, sf: str) -> str:
     """Copy the events fixture into a temp dir as ONE parquet file — the
-    file-source stream then sees exactly one micro-batch."""
-    d = tempfile.mkdtemp(prefix="stream_src_")
-    load(spark, sf, "events").coalesce(1).write.parquet(d, mode="overwrite")
-    return d
+    file-source stream then sees exactly one micro-batch. Staged once per
+    (application, sf): the six §2.10 queries reuse one copy instead of
+    paying a coalesce+write each (driver-round time-box, VERDICT r1 §1)."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _STAGE_CACHE:
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        load(spark, sf, "events").coalesce(1).write.parquet(d, mode="overwrite")
+        _STAGE_CACHE[key] = d
+    return _STAGE_CACHE[key]
 
 
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
@@ -123,6 +131,53 @@ def stream_sliding_session(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(F.count("*").alias("events"))
         .select(F.col("w.start").alias("win_start"), "events")
+    )
+    return _run_to_memory(out, output_mode="complete")
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           min(ts) AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE AS sess_end,
+           count(*) AS events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows (30-minute inactivity gap) per user as a
+    streaming aggregation. Output mode is COMPLETE, so the final state —
+    every merged session — is emitted regardless of micro-batch
+    boundaries, making the run batch-equivalent and therefore
+    SQL-oracle-checkable (the oracle is the classic gaps-and-islands
+    sessionization: a session starts where the gap to the previous event
+    is >= the 30-minute gap, end = last event + gap — exactly
+    session_window's merge rule with its exclusive window end)."""
+    s = _events_stream(spark, sf)
+    out = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "events",
+        )
     )
     return _run_to_memory(out, output_mode="complete")
 

@@ -189,6 +189,61 @@ from .inventory import (  # noqa: E402,F401
 # driver contract surface
 # --------------------------------------------------------------------------
 
+# Driver run order (the driver iterates queries() in dict order and may
+# time-box out — round 1 attested only the first 50 of 89). Cheap
+# JVM-only plans run first, Arrow-fence kernels second, and the
+# side-effecting / multi-job queries (catalog writes, streaming runs,
+# the full synthetic pipeline) last, so a time-box cuts the expensive
+# tail, not breadth. Anything registered but not listed is appended in
+# registration order (and covered by tests/test_plan_quality.py).
+RUN_ORDER = [
+    # -- pure JVM relational: scans, projections, scalar funcs
+    "scan_parquet", "project_select", "project_derived", "filter_predicate",
+    "str_funcs", "date_funcs", "math_funcs", "array_funcs", "json_funcs",
+    "map_funcs",
+    # -- sorts / limits / sets
+    "sort_orderby", "limit_topk", "set_union_all", "set_intersect",
+    "set_except",
+    # -- windows
+    "window_row_number", "window_rank_dense", "window_lag_lead",
+    "window_frame_rows", "window_frame_range", "limit_topk_per_group",
+    # -- aggregations
+    "agg_groupby_basic", "agg_count_distinct", "agg_approx_distinct",
+    "agg_distinct_rows", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_filtered_pivot", "agg_collect", "agg_percentile", "skew_salted_agg",
+    "skew_aqe_join",
+    # -- joins (non-side-effecting)
+    "join_hash_inner", "join_broadcast", "join_left_outer", "join_left_semi",
+    "join_left_anti", "join_full_outer", "join_range_theta",
+    "join_asof_interval", "join_cross",
+    # -- JVM-only text / multimodal / dedup / quality signals
+    "txt_token_count", "txt_fingerprint", "txt_quality_score",
+    "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
+    "ql_repetition", "ql_c4_rules", "ql_dedup_exact", "ql_metrics_rollup",
+    "dedup_embedding_cosine", "sim_topk_bruteforce",
+    # -- Arrow-fence kernels (pandas/Arrow UDF surface)
+    "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
+    "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
+    "ql_extract_text", "ql_pii_scrub", "ql_toxicity_scrub",
+    "ql_langid", "ql_perplexity",
+    "ql_ac_match", "flagship_filter_agg", "ql_ac_spans",
+    "txt_rolling_fp", "mm_decode_features", "mm_resize", "mm_frame_sample",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_lsh_bucketed", "sim_ivf_topk",
+    # -- side-effecting / multi-job tail
+    "join_bucketed", "sink_partitioned", "scan_iceberg_snapshot",
+    "sink_metrics", "ql_checkpoint_resume", "ql_pipeline_full",
+    "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
+    "stream_session_window", "stream_dedup_watermark",
+    "stream_stateful_counts", "stream_sink_checkpoint",
+]
+
+
+def _run_ordered(d: dict) -> dict:
+    out = {n: d[n] for n in RUN_ORDER if n in d}
+    out.update((n, v) for n, v in d.items() if n not in out)
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke check)."""
@@ -196,8 +251,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _run_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return _run_ordered(ORACLE_SQL)

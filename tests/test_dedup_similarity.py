@@ -4,6 +4,8 @@ recall@10 of the LSH index vs brute force."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from tests.conftest import SF_SMALL
@@ -81,8 +83,9 @@ def test_frame_sample_shape_and_determinism(spark, reg):
         assert 1 <= len(frames) <= 4
         assert sorted(f.frame_idx for f in frames) == list(range(len(frames)))
         for f in frames:
-            assert len(f.frame_feat) == 4
-            assert abs(sum(f.frame_feat) - 1.0) < 1e-3  # histogram sums to 1
+            feat = json.loads(f.frame_feat)  # JSON-serialized for the driver
+            assert len(feat) == 4
+            assert abs(sum(feat) - 1.0) < 1e-3  # histogram sums to 1
     again = reg.QUERIES["mm_frame_sample"](spark, SF_SMALL).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
@@ -153,3 +156,58 @@ def test_resize_thumb_shape_and_determinism(spark, reg):
     assert sorted((r.doc_id, r.thumb) for r in rows) == sorted(
         (r.doc_id, r.thumb) for r in again
     )
+
+
+def test_simhash_vectorized_matches_scalar_kernel():
+    """The batched column-sweep FNV + segmented vote reduction must produce
+    bit-identical sketches to the scalar _poly_hash64 twin."""
+    import numpy as np
+
+    from streamcorpus_filter_spark.operators.dedup import (
+        _poly_hash64,
+        simhash_batch,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", "one", "a a a a a", "unicode naïve café 壹 ² ...",
+        "x" * 300 + " y",  # long word exercises the column sweep depth
+    ] + [f"doc {i} word{i % 7} token{i % 13} filler" for i in range(50)]
+    doc_words = [sorted({w.encode("utf-8") for w in t.split()}) for t in texts]
+    got = simhash_batch(doc_words)
+
+    masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for t, g in zip(doc_words, got):
+        if not t:
+            assert g == 0
+            continue
+        hs = np.array([_poly_hash64(w) for w in t], dtype=np.uint64)
+        bits = (hs[:, None] & masks[None, :]) != 0
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        want = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            want |= masks[b]
+        assert int(want.astype(np.int64)) == g
+
+
+def test_jaccard_df_cap_drops_hot_shingle(spark):
+    """A stop-shingle present in every doc must not create all-pairs join
+    rows once the df cap is active; informative shingles still pair."""
+    import pyspark.sql.functions as F
+
+    from streamcorpus_filter_spark.operators.dedup import jaccard_pairs
+
+    # 30 docs all sharing one hot shingle; docs 0/1 also share 3 real ones
+    rows = [(i, "hot stop phrase") for i in range(30)]
+    rows += [(0, f"real shingle {j}") for j in range(3)]
+    rows += [(1, f"real shingle {j}") for j in range(3)]
+    rows += [(2, "only here x")]
+    sh = spark.createDataFrame(rows, "doc_id int, shingle string")
+
+    uncapped = jaccard_pairs(sh, "doc_id", threshold=0.01).collect()
+    assert len(uncapped) == 30 * 29 // 2  # hot key makes every pair
+
+    capped = jaccard_pairs(sh, "doc_id", threshold=0.01, max_df=5).collect()
+    assert {(r.a, r.b) for r in capped} == {(0, 1)}
+    [pair] = capped
+    assert abs(pair.jaccard - 1.0) < 1e-9  # 3/3 in the capped space

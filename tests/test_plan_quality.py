@@ -138,3 +138,47 @@ def test_pipeline_is_single_arrow_fence(spark):
         )
         assert fences <= 2, f"{fences} Python fences:\n{plan}"
         assert "BatchEvalPython" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The skew_aqe_join shape (80% of the fact side on one key, merge
+    hint pins a shuffle join) must actually trigger AQE's skew splitter
+    when the thresholds are scaled to fixture size: the executed adaptive
+    plan carries the skew=true SortMergeJoin marker. This is the runtime
+    half of the skew story (the salted two-phase agg is the compile-time
+    half)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        # fixture shuffle blocks are tiny and lz4-compressed; at real scale
+        # these stay at their 256MB/64MB defaults
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100B",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100B",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 50)
+            .alias("k"),
+            "l_quantity",
+        )
+        dim = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("w")
+        )
+        j = li.join(dim.hint("merge"), "k")
+        n = len(j.collect())
+        assert n == li.count()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
