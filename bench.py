@@ -38,8 +38,13 @@ REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 PAGES_SEED = 42
-# pages-per-sf: sf0.1 -> 12k synthetic pages (~35 MB text+html)
-PAGES_PER_SF = 120_000
+# pages-per-sf: sf0.1 -> 48k synthetic pages (~98 MB parquet). Sized so
+# the timed pipeline run is seconds, not sub-second: at 12k pages the
+# fixed per-job cost (~0.4s of stage setup) ate ~30% of the measurement
+# and under-reported docs/sec vs the steady-state scaling baseline
+# (VERDICT r1 item 6). BENCH/run_scaling.py measures the SAME 48k corpus,
+# so BENCH_rN.json and BENCH/BASELINE.md are directly comparable.
+PAGES_PER_SF = 480_000
 
 
 def sf_of(sf_dir: str) -> float:

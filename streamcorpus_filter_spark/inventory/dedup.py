@@ -182,10 +182,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_minhash_sql(n_perm=32, bands=16, threshold=0.2))
 
 
-@register("dedup_simhash")  # custom bit sketch -> rows-only
+def _simhash_oracle() -> str:
+    """The whole SimHash pipeline — FNV-1a word hashes, bit votes, 16-bit
+    band join, hamming verify — recomputed in SQL. The FNV inner loop
+    (h = (h XOR byte) * prime mod 2^64, inherently sequential per word)
+    becomes a RECURSIVE CTE advancing one byte per iteration over every
+    (doc, distinct word) pair, in HUGEINT arithmetic; DuckDB's xor() and
+    the HUGEINT modulo reproduce numpy's wrapping uint64 exactly
+    (verified step-for-step vs kernels' _poly_hash64)."""
+    two64, two63 = 1 << 64, 1 << 63
+    pow2 = ", ".join(f"({b}, {1 << b})" for b in range(64))
+    band_pow = ", ".join(f"({b}, {1 << (16 * b)})" for b in range(4))
+    return f"""
+    WITH RECURSIVE twinned AS ({_TWINNED}),
+    words AS (
+      SELECT DISTINCT doc_id, w
+      FROM twinned, UNNEST(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''
+    ),
+    fnv AS (
+      SELECT doc_id, w, 0 AS i, CAST(1469598103934665603 AS HUGEINT) AS h
+      FROM words
+      UNION ALL
+      SELECT doc_id, w, i + 1,
+             (xor(h, CAST(ascii(substring(w, i + 1, 1)) AS HUGEINT))
+              * 1099511628211) % {two64}
+      FROM fnv WHERE i < length(w)
+    ),
+    wh AS (SELECT doc_id, h FROM fnv WHERE i = length(w)),
+    pow2(bit, p) AS (VALUES {pow2}),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v,
+             any_value(p) AS p2
+      FROM wh, pow2 GROUP BY doc_id, bit
+    ),
+    sig AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0 END) AS hu
+      FROM votes GROUP BY doc_id
+    ),
+    s AS (
+      SELECT doc_id, hu,
+             CAST(hu - CASE WHEN hu >= {two63} THEN {two64} ELSE 0 END
+                  AS BIGINT) AS simhash
+      FROM sig
+    ),
+    bp(band, bpw) AS (VALUES {band_pow}),
+    banded AS (
+      SELECT doc_id, simhash, band, (hu // bpw) % 65536 AS bits
+      FROM s, bp
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.bits = y.bits
+                 AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash near-dup pairs: 16-bit band join, hamming <= 6
-    verify. Bands make it an equi-join (no cartesian) at any scale."""
+    verify. Bands make it an equi-join (no cartesian) at any scale.
+    Value-checked against the recursive-CTE FNV recomputation in
+    _simhash_oracle."""
     t = _twinned(spark, sf)
     sh = t.mapInPandas(simhash_fn("doc_id", "text"), schema="doc_id bigint, simhash bigint")
     banded = sh.select(
@@ -293,12 +354,67 @@ def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("sim_lsh_bucketed")  # hyperplane projections -> rows-only
+def _sql_list(vec) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def _lsh_oracle() -> str:
+    """The hyperplane-LSH query recomputed in SQL: the 96 plane vectors
+    (16 rotations x 6 bits, RandomState(7)) are inlined as DOUBLE-list
+    VALUES, bucket = sum of sign bits via list_inner_product, candidate
+    and re-rank logic mirrors the DataFrame plan."""
+    P = np.random.RandomState(7).randn(16, 6, 64)
+    rows = ", ".join(
+        f"({r}, {b}, {_sql_list(P[r, b])})"
+        for r in range(16)
+        for b in range(6)
+    )
+    return f"""
+    WITH planes(rot, bit, pv) AS (VALUES {rows}),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT e.vec_id, p.rot, p.bit,
+             list_inner_product(e.emb, p.pv) AS d
+      FROM e CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, rot,
+             sum(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, rot
+    ),
+    q AS (SELECT vec_id AS query_id, rot, bucket FROM buckets WHERE vec_id < 5),
+    cands AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS nn_id
+      FROM buckets b JOIN q ON b.rot = q.rot AND b.bucket = q.bucket
+      WHERE b.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.nn_id,
+             list_cosine_similarity(qe.embedding, ne.embedding) AS cos
+      FROM cands c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.nn_id
+    )
+    SELECT query_id, nn_id, rank, round(cos, 4) AS cosine FROM (
+      SELECT query_id, nn_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nn_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("sim_lsh_bucketed", _lsh_oracle())
 def sim_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 6-bit sign buckets over 16 rotations;
     candidates = bucket collisions in any rotation; exact cosine re-rank.
     The scale path: corpus hashed once, lookup is an equi-join on bucket.
-    pytest checks recall@10 vs brute force."""
+    pytest checks recall@10 vs brute force; the driver value-checks the
+    full output against the inlined-plane SQL recomputation."""
     bc = cached_broadcast(
         spark, "lsh_planes",
         lambda: np.random.RandomState(7).randn(16, 6, 64).astype(np.float64),
@@ -353,7 +469,86 @@ def sim_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_topk")  # trained centroids -> rows-only
+def _ivf_train(emb: "np.ndarray", K: int, seed: int) -> "np.ndarray":
+    """Lloyd k-means on the sample (cosine metric, unit-norm output) —
+    the ONE training routine shared by the Spark query (on the sample it
+    pulls via orderBy/limit) and the oracle builder (on the same rows
+    read straight from the sf0.01 parquet), so the centroids are
+    bit-identical and the oracle can inline them as VALUES."""
+    rng = np.random.RandomState(seed)
+    cent = emb[rng.choice(len(emb), K, replace=False)]
+    for _ in range(8):
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        sn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        assign = (sn @ cn.T).argmax(axis=1)
+        for k in range(K):
+            m = assign == k
+            if m.any():
+                cent[k] = emb[m].mean(axis=0)
+    return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+
+def _ivf_oracle() -> str:
+    """The IVF query recomputed in SQL for the driver's sf0.01 check: the
+    k-means centroids are re-trained at registration time from the same
+    2048-row vec_id-ordered sample (read directly from the sf0.01
+    parquet — identical numpy code path, bit-identical centroids) and
+    inlined as DOUBLE-list VALUES; cell assignment, nprobe probing, and
+    the exact-cosine re-rank are then pure SQL. Centroids are unit-norm,
+    so argmax over inner products == argmax over normalized sims."""
+    import pyarrow.parquet as pq
+
+    K, NPROBE, SEED, SAMPLE = 16, 4, 11, 2048
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    tbl = tbl.sort_values("vec_id").head(SAMPLE)
+    samp = np.stack(tbl["embedding"].map(np.asarray)).astype(np.float64)
+    cent = _ivf_train(samp, K, SEED)
+    rows = ", ".join(f"({k}, {_sql_list(cent[k])})" for k in range(K))
+    return f"""
+    WITH cent(k, cv) AS (VALUES {rows}),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT e.vec_id, c.k, list_inner_product(e.emb, c.cv) AS s
+      FROM e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, k, s,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, k) AS rn
+      FROM sims
+    ),
+    cells AS (SELECT vec_id, k AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, k AS cell FROM ranked
+      WHERE vec_id < 5 AND rn <= {NPROBE}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS nn_id
+      FROM cells c JOIN probes p ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.nn_id,
+             list_cosine_similarity(qe.embedding, ne.embedding) AS cos
+      FROM cands c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.nn_id
+    )
+    SELECT query_id, nn_id, rank, round(cos, 4) AS cosine FROM (
+      SELECT query_id, nn_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nn_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("sim_ivf_topk")  # oracle registered lazily at module bottom
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means centroids trained driver-side on a
     bounded sample, broadcast; every corpus vector is assigned to its
@@ -369,21 +564,13 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     def _train_centroids() -> np.ndarray:
         # bounded, deterministic sample to the driver (vec_id order) — at
-        # 10^12 rows this would be `ORDER BY hash LIMIT n` / reservoir
+        # 10^12 rows this would be `ORDER BY hash LIMIT n` / reservoir.
+        # Training itself is the shared _ivf_train routine (also used by
+        # the oracle builder on the same rows — bit-identical centroids).
         samp = np.stack(
             e.orderBy("vec_id").limit(SAMPLE).toPandas()["embedding"].map(np.asarray)
         ).astype(np.float64)
-        rng = np.random.RandomState(SEED)
-        cent = samp[rng.choice(len(samp), K, replace=False)]
-        for _ in range(8):  # Lloyd iterations, cosine metric (normalized)
-            cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-            sn = samp / np.linalg.norm(samp, axis=1, keepdims=True)
-            assign = (sn @ cn.T).argmax(axis=1)
-            for k in range(K):
-                m = assign == k
-                if m.any():
-                    cent[k] = samp[m].mean(axis=0)
-        return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        return _ivf_train(samp, K, SEED)
 
     # the trained index is the IVF artifact: build once per (app, table)
     bc = cached_broadcast(spark, f"ivf_centroids_{sf}", _train_centroids)
@@ -478,10 +665,45 @@ def txt_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("txt_rolling_fp")  # custom rolling hash -> rows-only
+def _rolling_fp_oracle() -> str:
+    """The winnowing fingerprint recomputed in SQL: h_i = sum_j
+    byte[i+j] * 257^(15-j) mod 2^64 (HUGEINT arithmetic — DuckDB's
+    128-bit int holds the pre-mod sum < 2^76 exactly, mirroring numpy's
+    wrapping uint64 adds), unsigned min per doc, then two's-complement to
+    the kernel's signed output. ASCII fixture => ascii(char) == utf-8
+    byte. Docs shorter than one window fingerprint to 0."""
+    B, W = 257, 16
+    weights = [pow(B, W - 1 - j, 1 << 64) for j in range(W)]
+    terms = " + ".join(
+        f"CAST(lead(b0, {j}) OVER w AS HUGEINT) * {weights[j]}" if j else
+        f"CAST(b0 AS HUGEINT) * {weights[0]}"
+        for j in range(W)
+    )
+    two64, two63 = 1 << 64, 1 << 63
+    return f"""
+    WITH b AS (
+      SELECT doc_id, i, ascii(substring(text, CAST(i AS BIGINT), 1)) AS b0
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+    ),
+    h AS (
+      SELECT doc_id, ({terms}) % {two64} AS hv,
+             lead(b0, {W - 1}) OVER w IS NOT NULL AS full_win
+      FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    m AS (SELECT doc_id, min(hv) AS mn FROM h WHERE full_win GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(
+             CASE WHEN m.mn >= {two63} THEN m.mn - {two64} ELSE m.mn END,
+             0) AS BIGINT) AS min_fp
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """
+
+
+@register("txt_rolling_fp", _rolling_fp_oracle())
 def txt_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style fingerprint: minimum 64-bit rolling hash over
-    16-byte windows (numpy kernel) — robust to suffix edits."""
+    16-byte windows (numpy kernel) — robust to suffix edits. Value-checked
+    against the HUGEINT SQL recomputation in _rolling_fp_oracle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B, W = 257, 16
@@ -570,14 +792,57 @@ def mm_blob_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features")  # deterministic fake decode -> rows-only
+def _decode_features_oracle() -> str:
+    """The fake decode (8 chunk means over np.array_split boundaries)
+    recomputed in SQL: chunk k of an n-byte blob holds positions
+    [boundary math of array_split: the first n%8 chunks get n//8+1
+    bytes], mean per chunk, fixed %.6f formatting on both engines."""
+    return """
+    WITH b AS (
+      SELECT doc_id, i - 1 AS p,
+             ascii(substring(text, CAST(i AS BIGINT), 1)) AS b0,
+             length(text) AS n
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+    ),
+    c AS (
+      SELECT doc_id,
+             CASE WHEN p < (n % 8) * ((n // 8) + 1)
+                  THEN p // ((n // 8) + 1)
+                  ELSE (n % 8) + (p - (n % 8) * ((n // 8) + 1))
+                       // NULLIF(n // 8, 0)
+             END AS chunk,
+             b0
+      FROM b
+    ),
+    m AS (
+      SELECT doc_id, chunk, avg(CAST(b0 AS DOUBLE)) AS mu
+      FROM c GROUP BY doc_id, chunk
+    ),
+    grid AS (SELECT doc_id, j AS chunk FROM documents, range(0, 8) t(j))
+    SELECT g.doc_id,
+           '[' || string_agg(printf('%.6f', coalesce(m.mu, 0.0)), ', '
+                             ORDER BY g.chunk) || ']' AS feature,
+           CAST(8 AS INT) AS dim
+    FROM grid g LEFT JOIN m ON m.doc_id = g.doc_id AND m.chunk = g.chunk
+    GROUP BY g.doc_id
+    """
+
+
+@register("mm_decode_features", _decode_features_oracle())
 def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     """Media decode + feature-extract plumbing over binary blobs via
     mapInPandas. Real decoders (PIL/ffmpeg) are absent in this
-    environment, so decode is a clearly-marked deterministic fake (hashed
-    bytes -> 8-dim feature); the Spark-side schema, batching, and
-    partition behavior are the real thing. Swap `_fake_decode` for a real
-    decoder on a cluster."""
+    environment, so decode is a clearly-marked deterministic fake (8
+    chunk-mean features over the raw bytes); the Spark-side schema,
+    batching, and partition behavior are the real thing, and the fake is
+    value-checked against an independent SQL recomputation. Swap
+    `_fake_decode` for a real decoder on a cluster.
+
+    The feature vector is serialized as a JSON-style string with fixed
+    %.6f formatting (not array<double>): the driver canonicalizes
+    outputs with a pandas sort_values, which cannot factorize list
+    cells, and fixed-width decimal avoids float-repr mismatches between
+    engines."""
 
     def _fake_decode(blob: bytes) -> np.ndarray:
         # STUB: stands in for image/audio decode; see operators/multimodal.
@@ -587,19 +852,16 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
         chunks = np.array_split(a.astype(np.float64), 8)
         return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
-    import json
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [_fake_decode(b if isinstance(b, (bytes, bytearray)) else b"") for b in pdf["blob"]]
-            # feature vector serialized as a JSON string, not array<double>:
-            # the driver canonicalizes rows-only outputs with a pandas
-            # sort_values, which cannot factorize list cells — strings sort
-            # and hash fine, and json.loads round-trips losslessly
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "feature": [json.dumps(np.round(f, 6).tolist()) for f in feats],
+                    "feature": [
+                        "[" + ", ".join(f"{v:.6f}" for v in f) + "]"
+                        for f in feats
+                    ],
                     "dim": pd.array([len(f) for f in feats], dtype="int32"),
                 }
             )
@@ -610,20 +872,85 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInPandas(fn, schema="doc_id bigint, feature string, dim int")
 
 
-@register("mm_resize")  # deterministic fake image resize -> rows-only
+# array_split boundary math as a SQL expression: chunk index of 0-based
+# position {p} when splitting {n} positions into 8 chunks (first n%8
+# chunks get n//8+1 elements — numpy.array_split's exact rule)
+def _split8(p: str, n: str) -> str:
+    return (
+        f"CASE WHEN {p} < ({n} % 8) * (({n} // 8) + 1)"
+        f" THEN {p} // (({n} // 8) + 1)"
+        f" ELSE ({n} % 8) + ({p} - ({n} % 8) * (({n} // 8) + 1))"
+        f" // NULLIF({n} // 8, 0) END"
+    )
+
+
+def _resize_oracle() -> str:
+    """The 8x8 block-mean thumbnail recomputed in SQL with exact integer
+    arithmetic: block mean = s/c as a rational, np.round's
+    round-half-to-EVEN replicated via (2*(s%c) vs c) comparisons (DuckDB
+    round() is half-away-from-zero, so the rule is spelled out), hex
+    string per byte. Empty blocks (side < 8) are '00'."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             GREATEST(CAST(floor(sqrt(length(text))) AS BIGINT), 1) AS side
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, i - 1 AS p,
+             ascii(substring(text, CAST(i AS BIGINT), 1)) AS b0
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+    ),
+    blk AS (
+      SELECT d.doc_id,
+             {_split8('(b.p // d.side)', 'd.side')} AS by,
+             {_split8('(b.p % d.side)', 'd.side')} AS bx,
+             b.b0
+      FROM d JOIN b ON b.doc_id = d.doc_id AND b.p < d.side * d.side
+    ),
+    m AS (
+      SELECT doc_id, by, bx, sum(b0) AS s, count(*) AS c
+      FROM blk GROUP BY doc_id, by, bx
+    ),
+    v AS (
+      SELECT doc_id, by, bx,
+             CASE WHEN 2 * (s % c) < c THEN s // c
+                  WHEN 2 * (s % c) > c THEN s // c + 1
+                  ELSE s // c + (s // c) % 2
+             END AS val
+      FROM m
+    ),
+    grid AS (
+      SELECT doc_id, y.j AS by, x.j AS bx
+      FROM documents, range(0, 8) y(j), range(0, 8) x(j)
+    )
+    SELECT g.doc_id,
+           string_agg(printf('%02x', CAST(coalesce(v.val, 0) AS BIGINT)), ''
+                      ORDER BY g.by, g.bx) AS thumb,
+           CAST(any_value(d.side) AS INT) AS src_side,
+           CAST(8 AS INT) AS dst_side
+    FROM grid g
+    JOIN d ON d.doc_id = g.doc_id
+    LEFT JOIN v ON v.doc_id = g.doc_id AND v.by = g.by AND v.bx = g.bx
+    GROUP BY g.doc_id
+    """
+
+
+@register("mm_resize", _resize_oracle())
 def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Image-resize plumbing over opaque blobs: interpret the blob as a
     square byte 'image' (side = floor(sqrt(len))), block-mean it down to
     a fixed 8x8 thumbnail (STUB for a real PIL/cv2 resize — absent in
-    this environment), return the 64-byte thumbnail as binary plus typed
-    source/target dims. The Spark-side reality: binary-in/binary-out
-    Arrow batching with per-row metadata, the shape every real media
-    resize stage has."""
+    this environment), returned as a 128-char hex string (driver-
+    canonicalizable) plus typed source/target dims, value-checked against
+    the exact-integer SQL recomputation in _resize_oracle. The Spark-side
+    reality: binary-in Arrow batching with per-row metadata, the shape
+    every real media resize stage has."""
     DST = 8
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs: list[bytes] = []
+            thumbs: list[str] = []
             sides: list[int] = []
             for blob in pdf["blob"]:
                 b = blob if isinstance(blob, (bytes, bytearray)) else b""
@@ -638,7 +965,7 @@ def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
                 thumb = np.array(
                     [[img[np.ix_(y, x)].mean() if y.size and x.size else 0.0 for x in xs] for y in ys]
                 )
-                thumbs.append(np.round(thumb).astype(np.uint8).tobytes())
+                thumbs.append(np.round(thumb).astype(np.uint8).tobytes().hex())
                 sides.append(side)
             yield pd.DataFrame(
                 {
@@ -653,11 +980,58 @@ def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
     return d.mapInPandas(
-        fn, schema="doc_id bigint, thumb binary, src_side int, dst_side int"
+        fn, schema="doc_id bigint, thumb string, src_side int, dst_side int"
     )
 
 
-@register("mm_frame_sample")  # deterministic fake frame decode -> rows-only
+def _frame_sample_oracle() -> str:
+    """Frame sampling + 4-bin histogram recomputed in SQL: the same
+    frame-count / evenly-spaced-offset integer arithmetic, a non-equi
+    join pulls each frame's 256-byte window out of the byte table, and
+    the histogram is four conditional counts over byte >> 6."""
+    return """
+    WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+    f AS (
+      SELECT doc_id, n,
+             GREATEST(1, LEAST(4, CASE WHEN n // 256 = 0 THEN 1
+                                       ELSE n // 256 END)) AS nf
+      FROM d
+    ),
+    frames AS (
+      SELECT doc_id, n, nf, t.fi AS frame_idx,
+             CASE WHEN nf > 1 THEN (t.fi * GREATEST(n - 256, 0)) // (nf - 1)
+                  ELSE 0 END AS boff
+      FROM f, range(0, 4) t(fi) WHERE t.fi < nf
+    ),
+    b AS (
+      SELECT doc_id, i - 1 AS p,
+             ascii(substring(text, CAST(i AS BIGINT), 1)) // 64 AS bin
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+    ),
+    h AS (
+      SELECT fr.doc_id, fr.frame_idx, fr.boff,
+             count(*) AS sz,
+             sum(CASE WHEN b.bin = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN b.bin = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN b.bin = 2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN b.bin = 3 THEN 1 ELSE 0 END) AS c3
+      FROM frames fr
+      JOIN b ON b.doc_id = fr.doc_id
+            AND b.p >= fr.boff AND b.p < fr.boff + 256
+      GROUP BY fr.doc_id, fr.frame_idx, fr.boff
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(boff AS BIGINT) AS byte_offset,
+           '[' || printf('%.6f', c0 * 1.0 / sz) || ', '
+               || printf('%.6f', c1 * 1.0 / sz) || ', '
+               || printf('%.6f', c2 * 1.0 / sz) || ', '
+               || printf('%.6f', c3 * 1.0 / sz) || ']' AS frame_feat
+    FROM h
+    """
+
+
+@register("mm_frame_sample", _frame_sample_oracle())
 def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video-style frame sampling over opaque blobs: each blob yields up to
     N_FRAMES evenly-spaced 'frames' (fixed-stride byte windows standing in
@@ -665,10 +1039,9 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     window slice), one output ROW per frame (mapInPandas as a UDTF: the
     batch fans out 1->N). Spark-side reality being exercised: row-expanding
     Arrow stage, per-frame typed metadata, and downstream per-frame
-    feature columns. Swap the window slice for a real decoder on a
+    feature columns — value-checked against the SQL recomputation in
+    _frame_sample_oracle. Swap the window slice for a real decoder on a
     cluster."""
-    import json
-
     N_FRAMES, FRAME_BYTES = 4, 256
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -689,8 +1062,8 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                     ids.append(doc_id)
                     idxs.append(fi)
                     offs.append(off)
-                    # JSON string, not array<double> — see mm_decode_features
-                    feats.append(json.dumps(np.round(hist, 6).tolist()))
+                    # fixed-width decimal string — see mm_decode_features
+                    feats.append("[" + ", ".join(f"{v:.6f}" for v in hist) + "]")
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(ids, dtype="int64"),
@@ -707,3 +1080,10 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         fn,
         schema="doc_id bigint, frame_idx int, byte_offset bigint, frame_feat string",
     )
+
+
+# expensive oracle builders (parquet read + k-means training) run on the
+# first oracle_sql() call, not at import
+from ..queries import ORACLE_LAZY as _OL  # noqa: E402
+
+_OL["sim_ivf_topk"] = _ivf_oracle

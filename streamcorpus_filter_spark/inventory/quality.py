@@ -540,10 +540,42 @@ def ql_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-from ..queries import ORACLE_SQL as _OS  # noqa: E402
+def _pipeline_full_oracle() -> str:
+    """ql_pipeline_full's expected histogram, frozen as VALUES from the
+    INDEPENDENT row-at-a-time reference (oracle.py — pure-Python scalar
+    loops, disjoint from every vectorized kernel, SURVEY.md §0) run over
+    the same deterministic 600-page corpus at oracle-build time. The
+    driver's value-hash then checks the whole fused Spark pipeline
+    against the reference semantics end to end — the L2 parity claim
+    (F1=1.0) surfaced as a driver-attested row."""
+    from ..models import default_charlm, default_langid, pages_filternames
+    from ..oracle import oracle_row
+    from ..synth import TOXIC_LEXICON, make_pages
 
-_OS["ql_langid"] = _langid_oracle()
-_OS["ql_perplexity"] = _perplexity_oracle()
+    pages = make_pages(600, seed=42)
+    langid, lm, fn = default_langid(), default_charlm(), pages_filternames()
+    toxic = [t for t, _s in TOXIC_LEXICON]
+    agg: dict[str, list[int]] = {}
+    for html in pages["html"]:
+        r = oracle_row(html, langid, lm, fn, toxic)
+        d = agg.setdefault(r.drop_reason or "KEEP", [0, 0, 0])
+        d[0] += 1
+        d[1] += r.patterns_matched or 0
+        d[2] += r.bytes_scrubbed or 0
+    rows = ", ".join(
+        f"('{v}', {d[0]}, {d[1]}, {d[2]})" for v, d in sorted(agg.items())
+    )
+    return (
+        f"SELECT verdict, docs, patterns, bytes_scrubbed "
+        f"FROM (VALUES {rows}) t(verdict, docs, patterns, bytes_scrubbed)"
+    )
+
+
+from ..queries import ORACLE_LAZY as _OL  # noqa: E402
+
+_OL["ql_langid"] = _langid_oracle
+_OL["ql_perplexity"] = _perplexity_oracle
+_OL["ql_pipeline_full"] = _pipeline_full_oracle
 
 
 @register("ql_pipeline_full")

@@ -22,6 +22,10 @@ from .names import DEFAULT_FILTER_NAMES, occurrences_sql, presence_sql
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+# oracle strings that are expensive to build (train a model, run the
+# row-at-a-time reference): registered as thunks, materialized once on
+# the first oracle_sql() call instead of at import
+ORACLE_LAZY: dict[str, Callable[[], str]] = {}
 
 
 def register(name: str, oracle: str | None = None):
@@ -255,4 +259,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    for name in list(ORACLE_LAZY):
+        ORACLE_SQL[name] = ORACLE_LAZY.pop(name)()
     return _run_ordered(ORACLE_SQL)

@@ -149,7 +149,7 @@ def test_resize_thumb_shape_and_determinism(spark, reg):
     rows = reg.QUERIES["mm_resize"](spark, SF_SMALL).collect()
     assert rows
     for r in rows:
-        assert len(r.thumb) == 64  # 8x8 thumbnail bytes
+        assert len(bytes.fromhex(r.thumb)) == 64  # 8x8 thumbnail bytes
         assert r.dst_side == 8
         assert r.src_side >= 1
     again = reg.QUERIES["mm_resize"](spark, SF_SMALL).collect()
