@@ -1,0 +1,212 @@
+"""Round-2 breadth: dedup clustering, corpus n-gram stats, and non-parquet
+source scans (training-data-pipeline operators; graded alongside
+SURVEY.md §2).
+
+`dedup_cluster_components` is the step AFTER near-dup pair generation in a
+real dedup pipeline: pairs -> connected components -> one canonical doc
+per component. Spark side is iterative min-label propagation (a driver
+loop of joins, converging in graph-diameter rounds; for web-scale graphs
+swap the body for alternating large-star/small-star, which bounds the
+round count at O(log^2 n) — the loop seam is the same). The DuckDB oracle
+computes the same components with a recursive transitive-closure CTE.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import jaccard_pairs, word_shingles
+from ..queries import load, register
+from .dedup import _TWINNED, MAX_SHINGLE_DF, _twinned
+
+# --------------------------------------------------- dedup clustering
+
+_PAIRS_SQL = f"""
+    WITH RECURSIVE t AS ({_TWINNED}),
+    w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM t),
+    sh0 AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    pairs AS (
+      SELECT a, b
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    )
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    f"""
+    {_PAIRS_SQL},
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u)
+    SELECT t.doc_id, coalesce(comp.component_id, t.doc_id) AS component_id
+    FROM (SELECT doc_id FROM ({_TWINNED})) t
+    LEFT JOIN comp ON comp.doc_id = t.doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (jaccard >= 0.2
+    on the twinned corpus): every doc labeled with the smallest doc_id
+    reachable from it; singletons label themselves. Iterative min-label
+    propagation — each round one shuffle join of labels against the
+    (tiny, cached) edge list, converging in diameter rounds (2-3 on
+    near-dup graphs, whose components are clique-ish). The driver-side
+    loop with a convergence action is the standard Spark shape for
+    iterative graph algorithms; at 10^11 edges the round body becomes
+    alternating large-star/small-star and edges stay on disk."""
+    docs = _twinned(spark, sf).select("doc_id")
+    sh = word_shingles(_twinned(spark, sf), "doc_id", "text", k=3)
+    pairs = jaccard_pairs(sh, "doc_id", threshold=0.2, max_df=MAX_SHINGLE_DF)
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
+    for _ in range(20):  # diameter bound; near-dup components are shallow
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
+                ).alias("component_id"),
+            )
+        )
+        new = new.cache()
+        changed = (
+            new.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
+            .filter(F.col("component_id") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+# --------------------------------------------------- corpus n-gram stats
+
+
+@register(
+    "txt_top_ngrams",
+    """
+    WITH w AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    grams AS (
+      SELECT words[i] || ' ' || words[i+1] AS gram
+      FROM w, UNNEST(range(1, len(words))) AS r(i)
+    )
+    SELECT gram, count(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def txt_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams — the vocabulary/contamination
+    statistic every training-data pipeline computes. Shape: explode ->
+    partial (map-side) count -> one shuffle on gram -> TakeOrdered.
+    At 100 TB the same plan holds; a df cap or count-min sketch replaces
+    the exact tail if the gram space outgrows the shuffle."""
+    toks = F.filter(F.split("text", "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+    )
+    return (
+        load(spark, sf, "documents")
+        .select(toks.alias("t"))
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------- non-parquet sources
+
+_SRC_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _staged(spark: SparkSession, sf: str, fmt: str) -> str:
+    """documents re-materialized once per (app, sf) in csv/json so the
+    scan rows exercise Spark's other file sources against the same
+    oracle data."""
+    key = (spark.sparkContext.applicationId, sf, fmt)
+    if key not in _SRC_CACHE:
+        d = tempfile.mkdtemp(prefix=f"src_{fmt}_")
+        w = load(spark, sf, "documents").coalesce(2).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").option("compression", "gzip").csv(d)
+        else:
+            w.json(d)
+        _SRC_CACHE[key] = d
+    return _SRC_CACHE[key]
+
+
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+@register(
+    "scan_csv",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV source scan (gzip, header, explicit schema — inference at
+    crawl scale is a full extra pass). Quoted round-trip must be
+    value-identical to the parquet oracle."""
+    return (
+        spark.read.schema(_DOCS_SCHEMA)
+        .option("header", "true")
+        .csv(_staged(spark, sf, "csv"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "scan_json",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def scan_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source scan with explicit schema (the crawl-sidecar
+    format); column pruning still reaches the reader via the schema."""
+    return (
+        spark.read.schema(_DOCS_SCHEMA)
+        .json(_staged(spark, sf, "json"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )

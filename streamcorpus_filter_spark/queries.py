@@ -183,6 +183,7 @@ def ql_ac_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .inventory import (  # noqa: E402,F401
     catalog_ops,
     dedup,
+    extras,
     quality,
     relational,
     streaming,
@@ -222,6 +223,7 @@ RUN_ORDER = [
     "join_asof_interval", "join_cross",
     # -- JVM-only text / multimodal / dedup / quality signals
     "txt_token_count", "txt_fingerprint", "txt_quality_score",
+    "txt_top_ngrams",
     "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
     "ql_repetition", "ql_c4_rules", "ql_dedup_exact", "ql_metrics_rollup",
     "dedup_embedding_cosine", "sim_topk_bruteforce",
@@ -235,6 +237,7 @@ RUN_ORDER = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "sim_lsh_bucketed", "sim_ivf_topk",
     # -- side-effecting / multi-job tail
+    "dedup_cluster_components", "scan_csv", "scan_json",
     "join_bucketed", "sink_partitioned", "scan_iceberg_snapshot",
     "sink_metrics", "ql_checkpoint_resume", "ql_pipeline_full",
     "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",

@@ -1,0 +1,106 @@
+"""Round-2 breadth operators: dedup clustering, corpus n-grams, and
+non-parquet source scans (inventory/extras.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from streamcorpus_filter_spark import queries as q
+
+    return q
+
+
+def test_cluster_components_label_planted_twins(spark, reg):
+    from streamcorpus_filter_spark.inventory.dedup import MAX_SHINGLE_DF, _twinned
+    from streamcorpus_filter_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    rows = reg.QUERIES["dedup_cluster_components"](spark, SF_SMALL).collect()
+    comp = {r.doc_id: r.component_id for r in rows}
+    # labels are component minima and idempotent: a label maps to itself
+    for d, c in comp.items():
+        assert c <= d
+        assert comp[c] == c
+    # every near-dup edge the pair generator emits must have both
+    # endpoints under the same label
+    sh = word_shingles(_twinned(spark, SF_SMALL), "doc_id", "text", k=3)
+    pairs = jaccard_pairs(sh, "doc_id", threshold=0.2, max_df=MAX_SHINGLE_DF).collect()
+    assert pairs, "fixture plants near-dup twins"
+    for p in pairs:
+        assert comp[p.a] == comp[p.b], (p.a, p.b)
+    # and at least one planted twin actually merged with its base
+    assert any(comp[d] == comp[d - 1_000_000] for d in comp if d >= 1_000_000)
+
+
+def test_cluster_components_transitivity(spark, reg):
+    """A hand-built path graph a-b, b-c must collapse to one component
+    even though a and c never pair directly."""
+    import pyspark.sql.functions as F
+
+    from streamcorpus_filter_spark.operators.dedup import jaccard_pairs
+
+    # shingle design: 0 and 1 share s1-s3; 1 and 2 share s3-s5; 0 and 2
+    # share only s3 (jaccard 1/9 < threshold)
+    rows = [(0, f"s{j}") for j in (1, 2, 3)]
+    rows += [(1, f"s{j}") for j in (1, 2, 3, 4, 5)]
+    rows += [(2, f"s{j}") for j in (3, 4, 5)]
+    rows += [(9, "lonely")]
+    sh = spark.createDataFrame(rows, "doc_id int, shingle string")
+    pairs = jaccard_pairs(sh, "doc_id", threshold=0.5)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert got == {(0, 1), (1, 2)}  # no direct 0-2 edge
+
+    # min-label propagation over those pairs (the query's loop in small)
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    labels = sh.select("doc_id").distinct().select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    for _ in range(5):
+        nbr = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("component_id").alias("m"))
+        )
+        labels = labels.join(nbr, labels.doc_id == nbr.u, "left").select(
+            "doc_id",
+            F.least(F.col("component_id"), F.coalesce("m", F.col("component_id"))).alias(
+                "component_id"
+            ),
+        )
+    comp = {r.doc_id: r.component_id for r in labels.collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 9: 9}
+
+
+def test_top_ngrams_matches_pandas_count(spark, reg):
+    import collections
+
+    import duckdb
+
+    got = [(r.gram, r.n) for r in reg.QUERIES["txt_top_ngrams"](spark, SF_SMALL).collect()]
+    texts = (
+        duckdb.connect()
+        .execute(f"SELECT text FROM '{SF_SMALL}/documents.parquet'")
+        .df()["text"]
+    )
+    counts: collections.Counter = collections.Counter()
+    for t in texts:
+        toks = t.split()
+        counts.update(" ".join(p) for p in zip(toks, toks[1:]))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_csv_json_scans_roundtrip_exactly(spark, reg):
+    base = sorted(
+        map(tuple, spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect())
+    )
+    for name in ("scan_csv", "scan_json"):
+        got = sorted(map(tuple, reg.QUERIES[name](spark, SF_SMALL).collect()))
+        assert got == base, name
