@@ -90,6 +90,15 @@ def build_spark(cores: int, app: str = "bench"):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # uniform input splits at EVERY core count: Spark's default sizes
+        # splits as ~totalBytes/defaultParallelism, so local[4] coalesces
+        # the many-file corpus into ~5 fat tasks (single wave, zero
+        # straggler smoothing; measured 15% slower than 128 tasks) while
+        # local[32] gets 128 — the N vs 4N comparison would partly measure
+        # task granularity, not the plan. Pin split bytes the way a 100 TB
+        # job would (stable split size regardless of cluster size).
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .getOrCreate()
     )
 

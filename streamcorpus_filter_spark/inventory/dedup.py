@@ -9,7 +9,7 @@ DuckDB oracle SQL, so exact-Jaccard pairs are value-checked end to end.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -26,28 +26,16 @@ from ..operators.dedup import (
 )
 from ..queries import cached_broadcast, load, register
 
-# SQL fragment: documents plus truncated twins (first 40 words) of every
-# 10th doc — the near-dup planted fixture, identical on both engines.
-_TWINNED = """
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id,
-           array_to_string(list_filter(string_split(text, ' '), w -> w <> '')[1:40], ' ') AS text
-    FROM documents WHERE doc_id % 10 = 0
-"""
+# shared near-dup planted fixture (twin SQL fragment + Spark twin builder)
+# lives in twins.py so extras.py can import it without a circular chain.
+from .twins import MAX_SHINGLE_DF, TWINNED_SQL  # noqa: E402
+from .twins import twinned as _twinned_impl  # noqa: E402
+
+_TWINNED = TWINNED_SQL
 
 
 def _twinned(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    toks = F.filter(F.split("text", "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != "")
-    twins = (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            F.array_join(F.slice(toks, 1, 40), " ").alias("text"),
-        )
-    )
-    return d.unionByName(twins)
+    return _twinned_impl(spark, sf, load)
 
 
 @register(
@@ -66,10 +54,6 @@ def dedup_exact_hash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# document-frequency cap for the exact shingle self-join: shingles seen in
-# more than this many docs are dropped before the join (hot-key guard; see
-# operators/dedup.py jaccard_pairs). Mirrored in the oracle SQL below.
-MAX_SHINGLE_DF = 64
 
 
 @register(
@@ -699,11 +683,8 @@ def _rolling_fp_oracle() -> str:
     """
 
 
-@register("txt_rolling_fp", _rolling_fp_oracle())
-def txt_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing-style fingerprint: minimum 64-bit rolling hash over
-    16-byte windows (numpy kernel) — robust to suffix edits. Value-checked
-    against the HUGEINT SQL recomputation in _rolling_fp_oracle."""
+def _rolling_fp_fn() -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Batch winnowing kernel, importable for kernel-parity tests."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B, W = 257, 16
@@ -712,24 +693,64 @@ def txt_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
         weights = np.array(
             [pow(B, W - 1 - j, 1 << 64) for j in range(W)], dtype=np.uint64
         )
+        UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+        CHUNK = 32768  # window starts per hashing block: keeps the W strided
+        # adds inside L1/L2 (a whole-buffer sweep is 2-5x slower — 16 passes
+        # of memory traffic over the full batch; measured on 10 MB batches)
         for pdf in batches:
-            out = []
-            for t in pdf["text"]:
-                data = np.frombuffer(
-                    t.encode("utf-8") if isinstance(t, str) else b"", dtype=np.uint8
-                ).astype(np.uint64)
-                if data.size < W:
-                    out.append(0)
-                    continue
-                n = data.size - W + 1
-                h = np.zeros(n, dtype=np.uint64)
-                for j in range(W):
-                    h += data[j : j + n] * weights[j]
-                out.append(int(h.min().astype(np.int64)))
+            # one packed buffer per Arrow batch: hash every byte position in
+            # W strided adds per cache-sized chunk, mask the last W-1
+            # positions of each doc (windows crossing a boundary), per-doc
+            # min via one minimum.reduceat — loop depth is window width x
+            # (batch bytes / CHUNK), not the doc count.
+            bufs = [
+                t.encode("utf-8") if isinstance(t, str) else b""
+                for t in pdf["text"]
+            ]
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+            ends = np.cumsum(lens)
+            raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            n = raw.size - W + 1
+            h = np.empty(raw.size, dtype=np.uint64)
+            h[max(n, 0):] = UMAX
+            for c0 in range(0, n, CHUNK):
+                c1 = min(c0 + CHUNK, n)
+                seg = raw[c0 : c1 + W - 1].astype(np.uint64)
+                m = c1 - c0
+                acc = seg[:m] * weights[0]
+                for j in range(1, W):
+                    acc += seg[j : j + m] * weights[j]
+                h[c0:c1] = acc
+            # invalid window starts = last min(W-1, len) positions per doc
+            counts = np.minimum(W - 1, lens)
+            inv = (
+                np.arange(counts.sum(), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts)
+                + np.repeat(ends - counts, counts)
+            )
+            h[inv] = UMAX
+            starts = np.minimum(ends - lens, max(raw.size - 1, 0))
+            mins = (
+                np.minimum.reduceat(h, starts)
+                if raw.size
+                else np.zeros(len(bufs), dtype=np.uint64)
+            )
+            out = np.where(lens >= W, mins.astype(np.int64), np.int64(0))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "min_fp": pd.array(out, dtype="int64")})
 
+    return fn
+
+
+@register("txt_rolling_fp", _rolling_fp_oracle())
+def txt_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style fingerprint: minimum 64-bit rolling hash over
+    16-byte windows, batch-vectorized — one packed buffer per Arrow batch,
+    16 strided adds for every window hash, boundary mask, and a single
+    minimum.reduceat for the per-doc minima (no per-doc Python). Robust to
+    suffix edits; value-checked against the HUGEINT SQL recomputation in
+    _rolling_fp_oracle."""
     return load(spark, sf, "documents").select("doc_id", "text").mapInPandas(
-        fn, schema="doc_id bigint, min_fp bigint"
+        _rolling_fp_fn(), schema="doc_id bigint, min_fp bigint"
     )
 
 

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import jaccard_pairs, word_shingles
 from ..queries import load, register
-from .dedup import _TWINNED, MAX_SHINGLE_DF, _twinned
+from .twins import MAX_SHINGLE_DF, TWINNED_SQL as _TWINNED, twinned
+
+
+def _twinned(spark: SparkSession, sf: str) -> DataFrame:
+    return twinned(spark, sf, load)
 
 # --------------------------------------------------- dedup clustering
 
@@ -143,10 +147,15 @@ def txt_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB the same plan holds; a df cap or count-min sketch replaces
     the exact tail if the gram space outgrows the shuffle."""
     toks = F.filter(F.split("text", "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
-    )
+    # sequence(1, n) with n < 1 DESCENDS ([1, 0]) instead of being empty
+    # (element_at(t, 0) would then throw) — guard docs with < 2 words
+    grams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         load(spark, sf, "documents")
         .select(toks.alias("t"))
@@ -155,6 +164,125 @@ def txt_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "gram")
         .limit(20)
+    )
+
+
+# --------------------------------------------------- decontamination
+
+# the "benchmark" is a deterministic slice of the corpus itself (every
+# 97th doc) so the check needs no external data: its distinct 8-gram
+# shingles are the contamination dictionary, broadcast to executors.
+_BENCH_MOD = 97
+_GRAM_W = 8
+
+
+@register(
+    "txt_contamination",
+    f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+{_GRAM_W - 1}], ' ') AS gram
+      FROM w, UNNEST(range(1, greatest(len(words) - {_GRAM_W - 2}, 1))) AS r(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    hits AS (
+      SELECT g.doc_id, count(*) AS bench_hits
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % {_BENCH_MOD} <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.bench_hits, 0) AS bench_hits,
+           coalesce(h.bench_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> 0
+    """,
+)
+def txt_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-benchmark decontamination: per doc, how many DISTINCT 8-gram
+    shingles also occur in the benchmark slice (doc_id % 97 == 0), plus a
+    contaminated flag. Shape: shingle both sides with built-ins (no
+    Python), broadcast the tiny distinct benchmark-gram dictionary, hash
+    semi-join per exploded gram, count per doc. At crawl scale the
+    benchmark side (a real eval suite) is a few MB — the broadcast join
+    means the corpus never shuffles; only the per-doc count aggregates."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != "")
+    # sequence(1, n) with n < 1 DESCENDS ([1, 0]) instead of being empty —
+    # docs shorter than one gram must short-circuit to an empty array
+    grams = F.when(
+        F.size("w") >= _GRAM_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - _GRAM_W + 1),
+                lambda i: F.concat_ws(" ", F.slice("w", i, _GRAM_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        d.select("doc_id", toks.alias("w"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    bench = (
+        exploded.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+    )
+    corpus = exploded.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bench_hits"))
+    )
+    return (
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bench_hits", F.lit(0)).alias("bench_hits"),
+            (F.coalesce("bench_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------- embedding centroids
+
+
+@register(
+    "emb_label_centroid",
+    """
+    WITH ex AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    )
+    SELECT label, pos,
+           sum(qv) / (count(*) * 10000.0) AS dim_mean,
+           count(*) AS n_vectors
+    FROM ex GROUP BY label, pos
+    """,
+)
+def emb_label_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class embedding centroid (the building block of IVF training,
+    class prototypes, and drift monitoring), in long (label, pos) format.
+    Values are quantized to 1e-4 BEFORE summing so the aggregate is an
+    exact integer sum — deterministic under any aggregation order on any
+    engine, unlike float sums (engines disagree in the last ulps).
+    Shape: posexplode -> partial integer sums map-side -> one shuffle on
+    (label, pos) — dims x labels cells regardless of corpus size."""
+    e = load(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn(
+            "qv", F.floor(F.col("val").cast("double") * 10000 + F.lit(0.5)).cast("long")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("qv") / (F.count("*") * F.lit(10000.0))).alias("dim_mean"),
+            F.count("*").alias("n_vectors"),
+        )
     )
 
 

@@ -223,7 +223,7 @@ RUN_ORDER = [
     "join_asof_interval", "join_cross",
     # -- JVM-only text / multimodal / dedup / quality signals
     "txt_token_count", "txt_fingerprint", "txt_quality_score",
-    "txt_top_ngrams",
+    "txt_top_ngrams", "txt_contamination", "emb_label_centroid",
     "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
     "ql_repetition", "ql_c4_rules", "ql_dedup_exact", "ql_metrics_rollup",
     "dedup_embedding_cosine", "sim_topk_bruteforce",

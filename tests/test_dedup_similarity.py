@@ -145,6 +145,29 @@ def _rolling_fn():
     return fn
 
 
+def test_rolling_fp_batch_kernel_matches_scalar_twin():
+    """The packed-buffer batch kernel (chunked strided adds + boundary
+    scatter + minimum.reduceat) must be bit-identical to the per-byte
+    Horner rolling hash on edge cases: empty/None text, sub-window docs,
+    exact-window docs, multibyte UTF-8, and docs at batch boundaries."""
+    import random
+
+    import pandas as pd
+
+    from streamcorpus_filter_spark.inventory.dedup import _rolling_fp_fn
+
+    rng = random.Random(7)
+    cases = ["", "short", "x" * 15, "y" * 16, None, "abcdefghijklmnop",
+             "z" * 17, "é" * 20, "the quick brown fox jumps over the lazy dog" * 3]
+    cases += ["".join(rng.choice("abcdef ghij") for _ in range(rng.randint(0, 200)))
+              for _ in range(300)]
+    for order in (cases, cases[::-1], ["", None], ["tiny"], []):
+        pdf = pd.DataFrame({"doc_id": range(len(order)), "text": list(order)})
+        got = list(_rolling_fp_fn()([pdf]))[0]["min_fp"].tolist()
+        want = list(_rolling_fn()([pdf]))[0]["min_fp"].tolist()
+        assert got == want
+
+
 def test_resize_thumb_shape_and_determinism(spark, reg):
     rows = reg.QUERIES["mm_resize"](spark, SF_SMALL).collect()
     assert rows

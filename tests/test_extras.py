@@ -97,6 +97,81 @@ def test_top_ngrams_matches_pandas_count(spark, reg):
     assert got == want
 
 
+def test_contamination_counts_match_python_recount(spark, reg):
+    import duckdb
+
+    rows = reg.QUERIES["txt_contamination"](spark, SF_SMALL).collect()
+    assert rows
+    # benchmark docs themselves are excluded from the output
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    # recount with plain python sets
+    texts = dict(
+        duckdb.connect()
+        .execute(f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'")
+        .fetchall()
+    )
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+    bench = set()
+    for d, t in texts.items():
+        if d % 97 == 0:
+            bench |= grams(t)
+    for r in rows:
+        want = len(grams(texts[r.doc_id]) & bench)
+        assert r.bench_hits == want, r.doc_id
+        assert r.contaminated == (want > 0)
+
+
+def test_contamination_short_doc_gram_guard(spark):
+    """sequence(1, n<1) descends in Spark — docs shorter than one gram
+    must produce zero grams, not a reversed-index explosion/error."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "a b"), (3, " "), (4, "a b c d e f g h i")],
+        "doc_id bigint, text string",
+    )
+    toks = F.filter(F.split("text", "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != "")
+    grams = F.when(
+        F.size("w") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 7),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    got = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", toks.alias("w")).select(
+            "doc_id", grams.alias("g")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c d e f g h", "b c d e f g h i"]
+
+
+def test_label_centroid_matches_numpy(spark, reg):
+    import numpy as np
+    import duckdb
+
+    rows = reg.QUERIES["emb_label_centroid"](spark, SF_SMALL).collect()
+    emb = (
+        duckdb.connect()
+        .execute(f"SELECT label, embedding FROM '{SF_SMALL}/embeddings.parquet'")
+        .fetchall()
+    )
+    by_label: dict = {}
+    for label, vec in emb:
+        by_label.setdefault(label, []).append(
+            np.floor(np.asarray(vec, dtype=np.float64) * 10000 + 0.5).astype(np.int64)
+        )
+    for r in rows:
+        vs = by_label[r.label]
+        want = sum(v[r.pos] for v in vs) / (len(vs) * 10000.0)
+        assert r.n_vectors == len(vs)
+        assert r.dim_mean == want, (r.label, r.pos)
+
+
 def test_csv_json_scans_roundtrip_exactly(spark, reg):
     base = sorted(
         map(tuple, spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect())
