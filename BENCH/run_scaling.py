@@ -80,8 +80,9 @@ extract_from_html=True) over {n_docs:,} synthetic pages in the
 input_hint shape (url, warc_ts, html, text, lang), seed-stable,
 identical input at every level. Input layout: {results[4].get('sf')}-keyed
 multi-file parquet dir (~375 docs/file) — scan-parallel, zero shuffle.
-Timing: steady-state (workers/broadcasts/JIT warmed; best of 2 full
-runs); full materialization via the noop sink; Arrow batch 2048; AQE on.
+Timing: steady-state (workers/broadcasts/JIT warmed; best of
+{args.repeat} full runs); full materialization via the noop sink; Arrow
+batch 2048; AQE on; splits pinned at 16 MB (see finding 8).
 
 ## Two-parallelism scaling (the N -> 4N executors proxy, BASELINE.md:19)
 
@@ -152,6 +153,16 @@ criterion — and lands at {eff_4_16:.2f}.
    uint64 shift/mask bit-unpack was 25x slower than np.unpackbits, and
    np.add.reduceat timings on this VM swing 10x with host steal —
    best-of-N or it lies.
+8. **Split size is a first-class knob for Python-fence jobs (round 2).**
+   Pinning `spark.sql.files.maxPartitionBytes` uniformly across levels
+   (so N vs 4N compares the plan, not task granularity) at 4 MB HURT:
+   11.5k docs/s at local[16] vs 15.1k at 16 MB and 10.3k at 128 MB on
+   the 98 MB corpus — too-small tasks amplify per-task Arrow-fence
+   overhead, too-big tasks can't balance waves. 16 MB (~43 tasks at
+   every level) won the A/B and lifted EVERY level vs the unpinned
+   default (which gave local[4] ~5 fat tasks in 2 unbalanced waves).
+   At 100 TB the same holds: size splits for seconds-long tasks, not
+   for task-count symmetry.
 
 ## Input-size scaling and measurement variance
 

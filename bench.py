@@ -92,13 +92,18 @@ def build_spark(cores: int, app: str = "bench"):
         .config("spark.ui.enabled", "false")
         # uniform input splits at EVERY core count: Spark's default sizes
         # splits as ~totalBytes/defaultParallelism, so local[4] coalesces
-        # the many-file corpus into ~5 fat tasks (single wave, zero
-        # straggler smoothing; measured 15% slower than 128 tasks) while
-        # local[32] gets 128 — the N vs 4N comparison would partly measure
-        # task granularity, not the plan. Pin split bytes the way a 100 TB
-        # job would (stable split size regardless of cluster size).
-        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # the many-file corpus into ~5 fat tasks (2 unbalanced waves,
+        # measured 15% slower) while local[32] gets dozens — the N vs 4N
+        # comparison would partly measure task granularity, not the plan.
+        # Pin split bytes the way a 100 TB job would (stable split size
+        # regardless of cluster size). 16 MB bins won the A/B at local[16]
+        # on the 98 MB corpus (15.1k docs/s vs 11.5k at 4 MB — smaller
+        # tasks amplify per-task Python-fence overhead — and 10.3k at
+        # 128 MB — too few tasks to balance); ~43 tasks for all levels.
+        .config("spark.sql.files.maxPartitionBytes",
+                str(int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "16")) * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes",
+                str(int(os.environ.get("SPARK_GRAFT_OPENCOST_KB", "4096")) * 1024))
         .getOrCreate()
     )
 

@@ -267,3 +267,65 @@ def stream_sink_checkpoint(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# --------------------------------------------------- streaming flagship
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _stage_documents(spark: SparkSession, sf: str) -> str:
+    key = (spark.sparkContext.applicationId, sf + "/documents")
+    if key not in _STAGE_CACHE:
+        d = tempfile.mkdtemp(prefix="stream_docs_")
+        load(spark, sf, "documents").coalesce(1).write.parquet(d, mode="overwrite")
+        _STAGE_CACHE[key] = d
+    return _STAGE_CACHE[key]
+
+
+def _flagship_stream_oracle() -> str:
+    from ..names import occurrences_sql, presence_sql
+    from ..queries import _NAMES
+
+    return f"""
+    WITH m AS (
+      SELECT lang,
+             {presence_sql(_NAMES)} AS patterns_matched,
+             {occurrences_sql(_NAMES)} AS total_hits
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(patterns_matched) AS BIGINT) AS pats,
+           CAST(sum(total_hits) AS BIGINT) AS hits
+    FROM m WHERE patterns_matched > 0
+    GROUP BY lang
+    """
+
+
+@register("stream_flagship_filter", _flagship_stream_oracle())
+def stream_flagship_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The north-star job as a STREAM: the same broadcast Aho-Corasick
+    match -> filter -> per-lang counters that flagship_filter_agg runs in
+    batch, executed as a Structured Streaming micro-batch plan (file
+    source -> Arrow-vectorized UDF -> stateful agg, complete mode). The
+    KBA corpus arrived hourly; this row proves the engine's core runs
+    unchanged under readStream, pandas UDF and all, and matches the batch
+    SQL oracle exactly."""
+    from ..functions.udfs import ac_count_udf
+    from ..names import DEFAULT_FILTER_NAMES
+    from ..queries import cached_broadcast
+
+    bc = cached_broadcast(spark, "default_ac", DEFAULT_FILTER_NAMES.compile)
+    s = spark.readStream.schema(DOCS_SCHEMA).parquet(_stage_documents(spark, sf))
+    m = s.withColumn("m", ac_count_udf(bc)(F.col("text")))
+    out = (
+        m.filter(F.col("m.patterns_matched") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("m.patterns_matched").cast("bigint").alias("pats"),
+            F.sum("m.total_hits").cast("bigint").alias("hits"),
+        )
+    )
+    return _run_to_memory(out, output_mode="complete")

@@ -182,6 +182,7 @@ def ql_ac_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .inventory import (  # noqa: E402,F401
     catalog_ops,
+    curation,
     dedup,
     extras,
     quality,
@@ -224,6 +225,8 @@ RUN_ORDER = [
     # -- JVM-only text / multimodal / dedup / quality signals
     "txt_token_count", "txt_fingerprint", "txt_quality_score",
     "txt_top_ngrams", "txt_contamination", "emb_label_centroid",
+    "ql_classifier_score", "ql_stratified_sample", "txt_salient_terms",
+    "curation_pipeline",
     "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
     "ql_repetition", "ql_c4_rules", "ql_dedup_exact", "ql_metrics_rollup",
     "dedup_embedding_cosine", "sim_topk_bruteforce",
@@ -243,6 +246,7 @@ RUN_ORDER = [
     "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
     "stream_session_window", "stream_dedup_watermark",
     "stream_stateful_counts", "stream_sink_checkpoint",
+    "stream_flagship_filter",
 ]
 
 

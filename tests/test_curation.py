@@ -1,0 +1,133 @@
+"""Curation-operator tests: independent Python recounts of each new op
+(the DuckDB oracle is the driver's check; these recount with plain
+python/pandas so a shared SQL mistake can't self-confirm)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import duckdb
+import pytest
+
+from streamcorpus_filter_spark.inventory.curation import (
+    CLF_VOCAB,
+    SAMPLE_THRESHOLDS,
+    _DEFAULT_THRESHOLD,
+    _FP_CHARS,
+    _MIN_CHARS,
+)
+from streamcorpus_filter_spark.kernels.rules import STOPWORD_SET
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from streamcorpus_filter_spark import queries as q
+
+    return q
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text, lang, n_chars FROM '{SF_SMALL}/documents.parquet'"
+        )
+        .fetchall()
+    )
+
+
+def _tokens(text: str) -> list[str]:
+    # pinned ASCII whitespace class
+    out, cur = [], []
+    for ch in text.lower():
+        if ch in " \t\n\r\f\x0b":
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def test_classifier_logit_matches_python_fold(spark, reg, docs):
+    rows = {r.doc_id: r for r in reg.QUERIES["ql_classifier_score"](spark, SF_SMALL).collect()}
+    assert len(rows) == len(docs)
+    for doc_id, text, _lang, _nc in docs:
+        want = sum(CLF_VOCAB.get(w, 0) for w in _tokens(text))
+        got = rows[doc_id]
+        assert got.logit_micro == want, doc_id
+        assert got.pred == (want > 0)
+
+
+def test_classifier_plan_is_shuffle_and_python_free(spark, reg):
+    plan = reg.QUERIES["ql_classifier_score"](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_matches_md5_thresholds(spark, reg, docs):
+    got = {r.doc_id: r for r in reg.QUERIES["ql_stratified_sample"](spark, SF_SMALL).collect()}
+    for doc_id, _text, lang, _nc in docs:
+        prefix = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        keep = prefix <= SAMPLE_THRESHOLDS.get(lang, _DEFAULT_THRESHOLD)
+        assert (doc_id in got) == keep, (doc_id, lang, prefix)
+        if keep:
+            assert got[doc_id].bucket == prefix
+    # the en downsample actually bites (~25% keep on a 500-doc corpus)
+    en_total = sum(1 for _, _, lang, _ in docs if lang == "en")
+    en_kept = sum(1 for r in got.values() if r.lang == "en")
+    assert en_kept < en_total / 2
+
+
+def test_salient_terms_match_python_ranking(spark, reg, docs):
+    rows = reg.QUERIES["txt_salient_terms"](spark, SF_SMALL).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # python recount: tf per doc, df over all docs
+    tfs = {
+        doc_id: Counter(w for w in _tokens(text) if w not in STOPWORD_SET)
+        for doc_id, text, _l, _n in docs
+    }
+    df = Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+    for doc_id, tf in tfs.items():
+        want = sorted(tf.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:3]
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r.rnk)
+        assert [(g.word, g.tf, g.df) for g in got] == [
+            (w, c, df[w]) for w, c in want
+        ], doc_id
+
+
+def test_curation_funnel_matches_python_recount(spark, reg, docs):
+    rows = {r.lang: r for r in reg.QUERIES["curation_pipeline"](spark, SF_SMALL).collect()}
+    gated = [(d, l, n, hashlib.md5(t[:_FP_CHARS].encode()).hexdigest())
+             for d, t, l, n in docs if n >= _MIN_CHARS]
+    keep = {}
+    for d, _l, _n, h in gated:
+        keep[h] = min(keep.get(h, d), d)
+    want: dict = {}
+    for d, l, n, h in gated:
+        w = want.setdefault(l, [0, 0, 0, 0])
+        w[0] += 1
+        if keep[h] == d:
+            w[1] += 1
+            w[3] += n
+        else:
+            w[2] += 1
+    assert set(rows) == set(want)
+    for lang, (g, k, dup, ch) in want.items():
+        r = rows[lang]
+        assert (r.docs_gated, r.docs_kept, r.docs_dup, r.chars_kept) == (g, k, dup, ch)
+    # at least one language must show the funnel actually gating
+    assert any(r.docs_gated < sum(1 for _, _, l, _ in docs if l == lang)
+               for lang, r in rows.items())
+    # and the dup path must actually fire somewhere
+    assert sum(r.docs_dup for r in rows.values()) > 0
