@@ -206,14 +206,18 @@ def main() -> None:
                 )
             )
 
-    # best-of-3 per query: the first execution of a plan still pays JIT /
+    # best-of-N per query: the first execution of a plan still pays JIT /
     # codegen / shuffle-file warmth the steady-state job never sees again,
-    # and the sandbox VM adds up-to-2x host-steal bursts on single runs
-    # (BENCH/BASELINE.md "measurement variance")
+    # and the sandbox VM adds multi-second host-steal bursts (measured
+    # 2.6x swings on identical back-to-back runs, and a pure-CPU matmul
+    # control swings 2x — BENCH/BASELINE.md "measurement variance").
+    # The pipeline is the headline metric, so it gets 5 samples to ride
+    # through a burst; the cheap queries keep 3.
+    repeats = {"pipeline": 5}
     times: dict[str, float] = {}
     for name in selected:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(repeats.get(name, 3)):
             t0 = time.perf_counter()
             bench[name]()
             best = min(best, time.perf_counter() - t0)

@@ -92,14 +92,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 _MINHASH_TOK = r"[ \\t\\n\\r\\f\\x0B]+"
 
+# universal-hash family for the MinHash permutations: p = 2^31 - 1
+# (Mersenne prime), per-perm constants derived from md5 at codegen time
+# so both engines inline identical literals. a_i*x < 2^62 — exact BIGINT.
+_MH_P = (1 << 31) - 1
+
+
+def _mh_constants(n_perm: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(n_perm):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:12], 16)
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:12], 16)
+        out.append((a % (_MH_P - 1) + 1, b % _MH_P))
+    return out
+
 
 def _minhash_sql(n_perm: int = 32, bands: int = 16, threshold: float = 0.2) -> str:
-    """The MinHash+LSH query as ONE generated SQL string. Semantically
-    identical to the DataFrame composition in operators/dedup.py (same
-    xxhash64 expressions, verified identical output at sf0.1) but built
-    in a single spark.sql parse: the DataFrame form's ~200 Column-API
-    calls cost 1.4s of Py4J round-trips per invocation — 40% of the
-    query's wall time — vs ~0.2s for one SQL parse.
+    """The MinHash+LSH query as ONE generated SQL string. Built in a
+    single spark.sql parse: the DataFrame form's ~200 Column-API calls
+    cost 1.4s of Py4J round-trips per invocation — 40% of the query's
+    wall time — vs ~0.2s for one SQL parse.
+
+    Hash family (round 2): ONE md5 per shingle reduced to a base value
+    x < p = 2^31 - 1, then perm_i = (a_i * x + b_i) mod p — the
+    pairwise-independent universal family MinHash implementations use
+    (e.g. the datasketch library), with the per-permutation constants
+    a_i, b_i derived from md5 at codegen time and INLINED in the SQL.
+    All arithmetic stays < 2^62 (exact in BIGINT on any engine) and md5
+    is bit-identical everywhere, so the whole sketch — minima, band
+    keys, candidates — is recomputable in DuckDB and value-checked,
+    unlike the previous engine-specific xxhash64 sketches. (First
+    attempt used Kirsch-Mitzenmacher h1 + i*h2 WITHOUT a modulus: the
+    per-perm orderings stay correlated — the same small-h1 shingle wins
+    every perm — and banding recall collapsed 0.9 -> 0.76 on the twin
+    fixture. The mod-p affine family restored it.) Cost on the Spark
+    side is one md5 + 32 multiply-mods per shingle instead of 32
+    xxhash64 calls — measured wall-neutral.
 
     Plan notes (measured, also apply to the SQL form): keep the shingle
     expression inline in the explode (naming the array and exploding
@@ -109,12 +139,12 @@ def _minhash_sql(n_perm: int = 32, bands: int = 16, threshold: float = 0.2) -> s
     (map-side combine); a row-local array_min(transform) variant is 10x
     slower (interpreted HOF hashing, no codegen)."""
     rows = n_perm // bands
-    hash_cols = ", ".join(
-        f"xxhash64(concat('{i}|', shingle)) AS h{i}" for i in range(n_perm)
+    min_cols = ", ".join(
+        f"min(({a} * x + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_mh_constants(n_perm))
     )
-    min_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(n_perm))
     band_structs = ", ".join(
-        "named_struct('band', {bi}, 'bh', xxhash64(concat_ws(',', {parts})))".format(
+        "named_struct('band', {bi}, 'bh', md5(concat_ws(',', {parts})))".format(
             bi=bi,
             parts=", ".join(f"cast(m{bi * rows + j} AS string)" for j in range(rows)),
         )
@@ -135,7 +165,12 @@ def _minhash_sql(n_perm: int = 32, bands: int = 16, threshold: float = 0.2) -> s
                  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))) AS shingle
       FROM toks
     ),
-    hashed AS (SELECT doc_id, {hash_cols} FROM sh),
+    h0 AS (SELECT doc_id, md5(shingle) AS mh FROM sh),
+    hashed AS (
+      SELECT doc_id,
+             cast(conv(substring(mh, 1, 12), 16, 10) AS bigint) % {_MH_P} AS x
+      FROM h0
+    ),
     sigs AS (SELECT doc_id, {min_cols} FROM hashed GROUP BY doc_id),
     banded AS (
       SELECT doc_id, bb.band AS band, bb.bh AS bh
@@ -155,13 +190,69 @@ def _minhash_sql(n_perm: int = 32, bands: int = 16, threshold: float = 0.2) -> s
     """
 
 
-@register("dedup_minhash_lsh")  # xxhash sketches are engine-specific -> rows-only
+def _minhash_oracle(n_perm: int = 32, bands: int = 16, threshold: float = 0.2) -> str:
+    """DuckDB recomputation of the ENTIRE MinHash+LSH pipeline — same
+    md5 double-hash family (hex halves parsed via CAST('0x…')), same
+    minima, same md5 band keys, same candidates-only exact Jaccard — so
+    the sketch path is value-checked end to end, not rows-only."""
+    rows = n_perm // bands
+    min_cols = ", ".join(
+        f"min(({a} * x + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_mh_constants(n_perm))
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, md5(concat_ws(',', {parts})) AS bh FROM sigs".format(
+            bi=bi,
+            parts=", ".join(
+                f"CAST(m{bi * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH t AS ({_TWINNED}),
+    w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM t),
+    sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
+    ),
+    h0 AS (SELECT doc_id, md5(shingle) AS mh FROM sh),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(mh, 1, 12)) AS BIGINT) % {_MH_P} AS x
+      FROM h0
+    ),
+    sigs AS (SELECT doc_id, {min_cols} FROM hashed GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT c.a, c.b,
+           round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM cands c
+    JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash (32 perms) + LSH banding (16 bands x 2 rows, ~certain
     recall above j~0.5) candidate pairs, verified by exact Jaccard on the
-    candidates only — the linear-time near-dup path at scale. pytest
-    checks recall vs the exact pairs on planted twins; see _minhash_sql
-    for why this query is generated SQL rather than Column-API calls."""
+    candidates only — the linear-time near-dup path at scale. The md5
+    double-hash family makes the sketch engine-portable, so the whole
+    pipeline is value-checked against _minhash_oracle (round 2; formerly
+    the one rows-only query). pytest additionally checks recall vs the
+    exact pairs on planted twins; see _minhash_sql for why this query is
+    generated SQL rather than Column-API calls."""
     load(spark, sf, "documents").createOrReplaceTempView("docs_v")
     return spark.sql(_minhash_sql(n_perm=32, bands=16, threshold=0.2))
 
