@@ -53,14 +53,19 @@ def main() -> None:
                          "(full-saturation runs are noisy)")
     args = ap.parse_args()
 
+    # repeat-major interleaving: the host's steal bursts last minutes, so
+    # running one level's repeats back-to-back lets a single burst poison
+    # that level's ENTIRE best-of-N while leaving the others clean — which
+    # turns the efficiency RATIO into a lottery (observed 0.63/0.82/0.99
+    # across three back-to-back regens with level-major ordering). Cycling
+    # 4,8,16,32 per pass spreads any burst across all levels.
     results: dict[int, dict] = {}
-    for cores in (4, 8, 16, 32):
-        best = None
-        for _ in range(args.repeat):
+    for _ in range(args.repeat):
+        for cores in (4, 8, 16, 32):
             r = run_level(cores, args.pages, args.sf_dir)
+            best = results.get(cores)
             if best is None or r["pipeline_docs_per_sec"] > best["pipeline_docs_per_sec"]:
-                best = r
-        results[cores] = best
+                results[cores] = r
 
     def dps(c: int) -> float:
         return results[c]["pipeline_docs_per_sec"]
@@ -82,7 +87,7 @@ identical input at every level. Input layout: {results[4].get('sf')}-keyed
 multi-file parquet dir (~375 docs/file) — scan-parallel, zero shuffle.
 Timing: steady-state (workers/broadcasts/JIT warmed; best of
 {args.repeat} full runs); full materialization via the noop sink; Arrow
-batch 2048; AQE on; splits pinned at 16 MB (see finding 8).
+batch 4096; AQE on; splits pinned at 16 MB (see finding 8).
 
 ## Two-parallelism scaling (the N -> 4N executors proxy, BASELINE.md:19)
 

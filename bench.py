@@ -83,11 +83,15 @@ def build_spark(cores: int, app: str = "bench"):
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
-        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(max(cores, 8))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # 4096 A/B-beat 2048 by ~15% at local[32] (fewer fence crossings
+        # per task); 8192 regressed. See session.py for the same default.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "4096"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # uniform input splits at EVERY core count: Spark's default sizes

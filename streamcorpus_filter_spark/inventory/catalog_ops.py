@@ -59,6 +59,26 @@ def scan_iceberg_snapshot(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "scan_iceberg_incremental",
+    """
+    SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+    """,
+)
+def scan_iceberg_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental append scan (Iceberg's CDC-style read): three appends
+    split by doc_id % 3; reading "appended strictly after snapshot 1"
+    must return exactly the rows of snapshots 2+3 and nothing from the
+    base — the read path a downstream consumer uses to process only new
+    crawl data per run instead of rescanning the table."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_incr_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    s1 = cat.append(docs.where(F.col("doc_id") % 3 == 0))
+    cat.append(docs.where(F.col("doc_id") % 3 == 1))
+    cat.append(docs.where(F.col("doc_id") % 3 == 2))
+    return cat.read_incremental(spark, s1["snapshot_id"])
+
+
+@register(
     "sink_metrics",
     """
     SELECT source,

@@ -242,6 +242,7 @@ RUN_ORDER = [
     # -- side-effecting / multi-job tail
     "dedup_cluster_components", "scan_csv", "scan_json",
     "join_bucketed", "sink_partitioned", "scan_iceberg_snapshot",
+    "scan_iceberg_incremental",
     "sink_metrics", "ql_checkpoint_resume", "ql_pipeline_full",
     "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
     "stream_session_window", "stream_dedup_watermark",

@@ -37,8 +37,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # web-page rows are fat (html binary + text); keep Arrow batches
-        # modest so Python workers stay within memory at 100TB-scale row sizes
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # bounded so Python workers stay within memory at 100TB-scale row
+        # sizes. 4096 (~8 MB of pages) A/B-beat 2048 by ~15% at local[32]
+        # (fewer fence crossings per task) and was never worse at low N;
+        # 8192 regressed (cache pressure in the whole-batch kernels).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
