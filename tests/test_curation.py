@@ -71,6 +71,23 @@ def test_classifier_plan_is_shuffle_and_python_free(spark, reg):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_curation_plan_single_scan_two_shuffles(spark, reg):
+    """The funnel must be ONE corpus scan (window keep-first, not a
+    groupBy+join-back that reads the corpus twice), with the length gate
+    pushed down to the parquet scan."""
+    import io, contextlib
+
+    df = reg.QUERIES["curation_pipeline"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]  # node tree only (details repeat names)
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 2
+    assert "GreaterThanOrEqual(n_chars," in plan
+
+
 def test_stratified_sample_matches_md5_thresholds(spark, reg, docs):
     got = {r.doc_id: r for r in reg.QUERIES["ql_stratified_sample"](spark, SF_SMALL).collect()}
     for doc_id, _text, lang, _nc in docs:
