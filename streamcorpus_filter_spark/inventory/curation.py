@@ -1,6 +1,6 @@
 """Corpus-curation operators (training-data pipeline extras).
 
-Four ops a crawl-curation job runs between raw quality filtering and
+Ops a crawl-curation job runs between raw quality filtering and
 training-set export, each expressed with JVM built-ins only (no Python in
 the hot path) and each value-checked against a DuckDB oracle:
 
@@ -16,6 +16,12 @@ the hot path) and each value-checked against a DuckDB oracle:
   * ``curation_pipeline``    — the composition: length gate -> exact
     near-dup keep-first -> per-language rollup of kept/dup counts, i.e.
     the whole curation funnel as ONE declarative plan.
+  * ``ql_source_mix``        — deterministic per-source up/downsampling
+    (training-corpus mixing weights as exact 1/1000ths; hash-bucketed
+    fractional copies, no rand()).
+  * ``txt_pack_bins``        — sequence-packing bin assignment: length
+    buckets + fixed-capacity packs in deterministic doc order (the
+    dataloader grouping that minimizes padding).
 
 Scale notes are in each docstring; the common theme is that per-row work
 stays in whole-stage codegen and the only shuffles are the aggregations
@@ -280,4 +286,126 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(~kept, 1).otherwise(0)).alias("docs_dup"),
             F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
         )
+    )
+
+
+# --------------------------------------------------- source mixing
+
+# per-source mixing factors for training-corpus composition: >1 upsamples
+# (docs repeated), <1 downsamples (hash-thresholded keep), in 1/1000ths
+# so every copy-count decision is exact integer arithmetic on any engine.
+MIX_MILLI: dict[str, int] = {"src0": 2500, "src1": 500, "src2": 1500, "src3": 250}
+_MIX_DEFAULT = 1000
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(f"WHEN '{s}' THEN {m}" for s, m in sorted(MIX_MILLI.items()))
+    return f"CASE source {arms} ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "ql_source_mix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             {_mix_case_sql()} AS milli,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 1000 AS bucket
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source,
+             (milli // 1000) + CASE WHEN bucket < (milli % 1000) THEN 1 ELSE 0 END AS n_copies
+      FROM d
+    )
+    SELECT doc_id, source, CAST(r.i AS INT) AS copy_idx
+    FROM n, UNNEST(range(1, n_copies + 1)) AS r(i)
+    WHERE n_copies > 0
+    """,
+)
+def ql_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic source mixing for training-corpus composition: each
+    source has a factor in 1/1000ths (2.5x, 0.5x, ...); a doc yields
+    floor(factor) copies plus one more iff its md5 hash bucket falls
+    under the fractional part — so expected copies == factor exactly,
+    per doc, reproducibly on any engine (no rand(), no resample drift
+    between retries of a failed task — Spark task retries re-evaluate
+    rand() and would silently change the corpus).
+
+    Scale shape: a scalar copy-count expression + explode(sequence) on
+    the scan — no shuffle, no state; upsampling is row-expansion at
+    read time, downsampling is a pushed filter. The mix table ships as
+    a plan literal exactly like the classifier vocab."""
+    mix = F.create_map(
+        *[F.lit(x) for s, m in sorted(MIX_MILLI.items()) for x in (s, m)]
+    )
+    milli = F.coalesce(mix[F.col("source")], F.lit(_MIX_DEFAULT))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 1000
+    )
+    n_copies = (milli / 1000).cast("long") + F.when(
+        bucket < milli % 1000, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )
+
+
+# --------------------------------------------------- sequence packing
+
+_PACK_CAP = 4  # docs per pack within a length bucket
+
+
+@register(
+    "txt_pack_bins",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(least(n_tokens // 64, 7) AS INT) AS bucket
+      FROM t
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                // {_PACK_CAP} AS BIGINT) AS pack_id
+    FROM b
+    """,
+)
+def txt_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for training batches: docs are length-bucketed
+    (64-token bands, capped at bucket 7) and assigned a pack_id of
+    {_PACK_CAP} docs per pack within their bucket, in deterministic
+    doc_id order — the grouping a dataloader uses to pack similar-length
+    sequences and minimize padding. Greedy first-fit packing is
+    inherently order-dependent; bucketing + fixed-capacity packs is the
+    deterministic, shuffle-light formulation that reproduces identically
+    on any engine and any partitioning.
+
+    Scale shape: token count is a scalar expression; the only shuffle is
+    the per-bucket window (8 buckets — at crawl scale partition instead
+    by (bucket, day) or any natural key to keep window partitions
+    bounded; the pack assignment stays per-partition-deterministic)."""
+    toks = F.filter(F.split(F.lower("text"), _WS), lambda x: x != "")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", F.size(toks).alias("n_tokens"))
+        .withColumn(
+            "bucket", F.least(F.col("n_tokens") / 64, F.lit(7)).cast("int")
+        )
+        .withColumn(
+            "pack_id",
+            ((F.row_number().over(w) - 1) / _PACK_CAP).cast("long"),
+        )
+        .select("doc_id", "n_tokens", "bucket", "pack_id")
     )

@@ -148,3 +148,47 @@ def test_curation_funnel_matches_python_recount(spark, reg, docs):
                for lang, r in rows.items())
     # and the dup path must actually fire somewhere
     assert sum(r.docs_dup for r in rows.values()) > 0
+
+
+def test_source_mix_copy_counts_match_python(spark, reg, docs):
+    from streamcorpus_filter_spark.inventory.curation import MIX_MILLI, _MIX_DEFAULT
+
+    rows = reg.QUERIES["ql_source_mix"](spark, SF_SMALL).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    sources = (
+        duckdb.connect()
+        .execute(f"SELECT doc_id, source FROM '{SF_SMALL}/documents.parquet'")
+        .fetchall()
+    )
+    for doc_id, source in sources:
+        milli = MIX_MILLI.get(source, _MIX_DEFAULT)
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 1000
+        want = milli // 1000 + (1 if bucket < milli % 1000 else 0)
+        got = sorted(by_doc.get(doc_id, []))
+        assert got == list(range(1, want + 1)), (doc_id, source, milli, bucket)
+    # both the upsample (copy_idx 2+) and downsample (absent docs) paths fire
+    assert any(len(v) > 1 for v in by_doc.values())
+    assert len(by_doc) < len(sources)
+
+
+def test_pack_bins_deterministic_and_capacity_bounded(spark, reg):
+    from streamcorpus_filter_spark.inventory.curation import _PACK_CAP
+
+    rows = reg.QUERIES["txt_pack_bins"](spark, SF_SMALL).collect()
+    assert rows
+    packs: dict = {}
+    for r in rows:
+        assert r.bucket == min(r.n_tokens // 64, 7)
+        packs.setdefault((r.bucket, r.pack_id), []).append(r.doc_id)
+    for (bucket, pack_id), members in packs.items():
+        assert len(members) <= _PACK_CAP
+    # within a bucket, packs partition docs in sorted doc_id order
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append((r.doc_id, r.pack_id))
+    for bucket, pairs in by_bucket.items():
+        pairs.sort()
+        want_pack = [i // _PACK_CAP for i in range(len(pairs))]
+        assert [p for _, p in pairs] == want_pack, bucket
