@@ -168,6 +168,11 @@ criterion — and lands at {eff_4_16:.2f}.
    default (which gave local[4] ~5 fat tasks in 2 unbalanced waves).
    At 100 TB the same holds: size splits for seconds-long tasks, not
    for task-count symmetry.
+9. **Arrow batch size re-tuned at 4096 (round 2).** 2048 -> 4096 rows
+   (~8 MB of pages) was ~15% faster at local[32] in an interleaved A/B
+   (fewer Arrow fence crossings per task, fuller whole-batch kernel
+   sweeps); 8192 regressed (cache pressure). Applied in session.py and
+   bench.py; overridable via SPARK_GRAFT_ARROW_BATCH.
 
 ## Input-size scaling and measurement variance
 
