@@ -395,11 +395,10 @@ def txt_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
     the per-bucket window (8 buckets — at crawl scale partition instead
     by (bucket, day) or any natural key to keep window partitions
     bounded; the pack assignment stays per-partition-deterministic)."""
-    toks = F.filter(F.split(F.lower("text"), _WS), lambda x: x != "")
     w = Window.partitionBy("bucket").orderBy("doc_id")
     return (
         load(spark, sf, "documents")
-        .select("doc_id", F.size(toks).alias("n_tokens"))
+        .select("doc_id", F.size(_toks()).alias("n_tokens"))
         .withColumn(
             "bucket", F.least(F.col("n_tokens") / 64, F.lit(7)).cast("int")
         )

@@ -60,7 +60,7 @@ def dedup_exact_hash(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH t AS ({_TWINNED}),
-    w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM t),
+    w AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words FROM t),
     sh0 AS (
       SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
       FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
@@ -161,8 +161,10 @@ def _minhash_sql(n_perm: int = 32, bands: int = 16, threshold: float = 0.2) -> s
     toks AS (SELECT doc_id, filter(split(text, '{_MINHASH_TOK}'), x -> x != '') AS t FROM twinned),
     sh AS (
       SELECT doc_id,
-             explode(array_distinct(transform(sequence(1, greatest(size(t) - 2, 0)),
-                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))) AS shingle
+             explode(CASE WHEN size(t) >= 3 THEN
+                 array_distinct(transform(sequence(1, size(t) - 2),
+                   i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+               ELSE array() END) AS shingle
       FROM toks
     ),
     h0 AS (SELECT doc_id, md5(shingle) AS mh FROM sh),
@@ -211,7 +213,7 @@ def _minhash_oracle(n_perm: int = 32, bands: int = 16, threshold: float = 0.2) -
     )
     return f"""
     WITH t AS ({_TWINNED}),
-    w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM t),
+    w AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words FROM t),
     sh AS (
       SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
       FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
@@ -272,7 +274,7 @@ def _simhash_oracle() -> str:
     WITH RECURSIVE twinned AS ({_TWINNED}),
     words AS (
       SELECT DISTINCT doc_id, w
-      FROM twinned, UNNEST(string_split(text, ' ')) AS u(w)
+      FROM twinned, UNNEST(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS u(w)
       WHERE w <> ''
     ),
     fnv AS (
@@ -280,11 +282,11 @@ def _simhash_oracle() -> str:
       FROM words
       UNION ALL
       SELECT doc_id, w, i + 1,
-             (xor(h, CAST(ascii(substring(w, i + 1, 1)) AS HUGEINT))
+             (xor(h, CAST(CAST(('0x' || substring(hex(encode(w)), CAST(2*i + 1 AS BIGINT), 2)) AS BIGINT) AS HUGEINT))
               * 1099511628211) % {two64}
-      FROM fnv WHERE i < length(w)
+      FROM fnv WHERE i < octet_length(encode(w))
     ),
-    wh AS (SELECT doc_id, h FROM fnv WHERE i = length(w)),
+    wh AS (SELECT doc_id, h FROM fnv WHERE i = octet_length(encode(w))),
     pow2(bit, p) AS (VALUES {pow2}),
     votes AS (
       SELECT doc_id, bit,
@@ -710,8 +712,8 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     "txt_token_count",
     r"""
     SELECT doc_id,
-           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_ish_tokens
+           CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w \t\n\r\f\x0B]')) AS BIGINT) AS bpe_ish_tokens
     FROM documents
     """,
 )
@@ -722,7 +724,7 @@ def txt_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("ws_tokens"),
-        F.regexp_count("text", F.lit(r"\w+|[^\w\s]")).cast("bigint").alias("bpe_ish_tokens"),
+        F.regexp_count("text", F.lit(r"\w+|[^\w \t\n\r\f\x0B]")).cast("bigint").alias("bpe_ish_tokens"),
     )
 
 
@@ -757,8 +759,9 @@ def _rolling_fp_oracle() -> str:
     two64, two63 = 1 << 64, 1 << 63
     return f"""
     WITH b AS (
-      SELECT doc_id, i, ascii(substring(text, CAST(i AS BIGINT), 1)) AS b0
-      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+      SELECT doc_id, i,
+             CAST(('0x' || substring(hex(encode(text)), CAST(2*i - 1 AS BIGINT), 2)) AS INTEGER) AS b0
+      FROM documents, UNNEST(range(1, octet_length(encode(text)) + 1)) AS r(i)
     ),
     h AS (
       SELECT doc_id, ({terms}) % {two64} AS hv,
@@ -853,8 +856,8 @@ _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORD_SET)) + "]"
     f"""
     WITH s AS (
       SELECT doc_id,
-             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
-             len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),
+             len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> '')) AS n_words,
+             len(list_filter(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> ''),
                  w -> list_contains({_STOPLIST_SQL}, lower(w)))) AS n_stop
       FROM documents
     )
@@ -886,7 +889,7 @@ def txt_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     "mm_blob_stats",
     """
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS blob_len,
+           CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
            md5(text) AS blob_md5
     FROM documents
     """,
@@ -912,9 +915,9 @@ def _decode_features_oracle() -> str:
     return """
     WITH b AS (
       SELECT doc_id, i - 1 AS p,
-             ascii(substring(text, CAST(i AS BIGINT), 1)) AS b0,
-             length(text) AS n
-      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+             CAST(('0x' || substring(hex(encode(text)), CAST(2*i - 1 AS BIGINT), 2)) AS INTEGER) AS b0,
+             octet_length(encode(text)) AS n
+      FROM documents, UNNEST(range(1, octet_length(encode(text)) + 1)) AS r(i)
     ),
     c AS (
       SELECT doc_id,
@@ -1005,13 +1008,13 @@ def _resize_oracle() -> str:
     return f"""
     WITH d AS (
       SELECT doc_id,
-             GREATEST(CAST(floor(sqrt(length(text))) AS BIGINT), 1) AS side
+             GREATEST(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1) AS side
       FROM documents
     ),
     b AS (
       SELECT doc_id, i - 1 AS p,
-             ascii(substring(text, CAST(i AS BIGINT), 1)) AS b0
-      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+             CAST(('0x' || substring(hex(encode(text)), CAST(2*i - 1 AS BIGINT), 2)) AS INTEGER) AS b0
+      FROM documents, UNNEST(range(1, octet_length(encode(text)) + 1)) AS r(i)
     ),
     blk AS (
       SELECT d.doc_id,
@@ -1102,7 +1105,7 @@ def _frame_sample_oracle() -> str:
     join pulls each frame's 256-byte window out of the byte table, and
     the histogram is four conditional counts over byte >> 6."""
     return """
-    WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
     f AS (
       SELECT doc_id, n,
              GREATEST(1, LEAST(4, CASE WHEN n // 256 = 0 THEN 1
@@ -1117,8 +1120,8 @@ def _frame_sample_oracle() -> str:
     ),
     b AS (
       SELECT doc_id, i - 1 AS p,
-             ascii(substring(text, CAST(i AS BIGINT), 1)) // 64 AS bin
-      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+             CAST(('0x' || substring(hex(encode(text)), CAST(2*i - 1 AS BIGINT), 2)) AS INTEGER) // 64 AS bin
+      FROM documents, UNNEST(range(1, octet_length(encode(text)) + 1)) AS r(i)
     ),
     h AS (
       SELECT fr.doc_id, fr.frame_idx, fr.boff,
@@ -1164,6 +1167,10 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
             feats: list[str] = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = blob if isinstance(blob, (bytes, bytearray)) else b""
+                if not b:
+                    # an empty blob has no frames (mirrors the oracle,
+                    # whose per-byte join yields no rows for empty input)
+                    continue
                 n = max(1, min(N_FRAMES, len(b) // FRAME_BYTES or 1))
                 for fi in range(n):
                     off = (fi * max(len(b) - FRAME_BYTES, 0)) // max(n - 1, 1) if n > 1 else 0

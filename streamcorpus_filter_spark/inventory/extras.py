@@ -30,7 +30,7 @@ def _twinned(spark: SparkSession, sf: str) -> DataFrame:
 
 _PAIRS_SQL = f"""
     WITH RECURSIVE t AS ({_TWINNED}),
-    w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM t),
+    w AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words FROM t),
     sh0 AS (
       SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
       FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
@@ -93,6 +93,7 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
+    converged = False
     for _ in range(20):  # diameter bound; near-dup components are shallow
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -117,7 +118,18 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent exit here would return split labels for any component
+        # whose diameter exceeds the round cap (e.g. a chain of gradually
+        # drifting boilerplate pages) while the exact-transitive-closure
+        # oracle labels it fully — fail loudly instead of mismatching
+        raise RuntimeError(
+            "dedup_cluster_components: min-label propagation did not "
+            "converge within 20 rounds (component diameter > 20); raise "
+            "the cap or switch to large-star/small-star rounds"
+        )
     return labels
 
 
@@ -128,7 +140,7 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     "txt_top_ngrams",
     """
     WITH w AS (
-      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS words
+      SELECT list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words
       FROM documents
     ),
     grams AS (
@@ -180,7 +192,7 @@ _GRAM_W = 8
     "txt_contamination",
     f"""
     WITH w AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words
       FROM documents
     ),
     g AS (
@@ -317,10 +329,13 @@ _DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars 
 def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
     """CSV source scan (gzip, header, explicit schema — inference at
     crawl scale is a full extra pass). Quoted round-trip must be
-    value-identical to the parquet oracle."""
+    value-identical to the parquet oracle; multiLine handles quoted
+    embedded newlines (web text has them — the default reader splits
+    records mid-quote and corrupts every row after the first \\n)."""
     return (
         spark.read.schema(_DOCS_SCHEMA)
         .option("header", "true")
+        .option("multiLine", "true")
         .csv(_staged(spark, sf, "csv"))
         .select("doc_id", "text", "lang", "source", "n_chars")
     )

@@ -29,10 +29,12 @@ from ..queries import cached_broadcast, load, register
 # DuckDB expressions implementing the same rules.py signal spec for the
 # single-line, single-space documents.text fixture.
 
-_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_WORDS = "list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> '')"
 _NW = f"greatest(len({_WORDS}), 1)"
 _MEAN_WL = (
-    f"CAST(list_aggregate(list_transform({_WORDS}, w -> length(w)), 'sum') AS DOUBLE)"
+    # coalesce: list_aggregate('sum') of an EMPTY list is NULL in DuckDB,
+    # but the kernel computes 0.0 for a zero-word doc
+    f"coalesce(CAST(list_aggregate(list_transform({_WORDS}, w -> length(w)), 'sum') AS DOUBLE), 0.0)"
     f" / {_NW}"
 )
 _ALPHA = (

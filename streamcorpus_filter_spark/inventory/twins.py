@@ -14,7 +14,7 @@ TWINNED_SQL = """
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id,
-           array_to_string(list_filter(string_split(text, ' '), w -> w <> '')[1:40], ' ') AS text
+           array_to_string(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> '')[1:40], ' ') AS text
     FROM documents WHERE doc_id % 10 = 0
 """
 

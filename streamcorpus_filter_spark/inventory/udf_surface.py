@@ -57,7 +57,7 @@ def udf_scalar_pandas(spark: SparkSession, sf: str) -> DataFrame:
     "udf_iter_pandas",
     """
     SELECT doc_id,
-           CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+           CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> ''))
                 AS BIGINT) AS n_words
     FROM documents
     """,
@@ -69,7 +69,9 @@ def udf_iter_pandas(spark: SparkSession, sf: str) -> DataFrame:
     import re
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        split = re.compile(" ").split  # stands in for expensive init
+        # pinned ASCII whitespace class (kernels/rules.py spec) — the
+        # compiled pattern stands in for expensive per-worker init
+        split = re.compile(r"[ \t\n\r\f\x0B]+").split
         for pdf in batches:
             yield pd.DataFrame(
                 {

@@ -29,12 +29,18 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     """Distinct word k-gram shingles: (id, shingle). Built-ins only."""
     toks = F.filter(F.split(F.col(text_col), "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != "")
     df = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("_toks", i + j) for j in range(k)]
+    # sequence(1, n) with n < 1 DESCENDS ([1, 0]) instead of being empty,
+    # and element_at(_toks, 0) then throws — docs shorter than one
+    # shingle must short-circuit to an empty gram array
+    grams = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_toks", i + j) for j in range(k)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select("_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .select(F.col("_id").alias(id_col), "shingle")
@@ -196,11 +202,15 @@ def simhash_fn(id_col: str, text_col: str):
     tests/test_dedup_similarity.py."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.rules import TOKEN_SPLIT_PY
+
         for pdf in batches:
-            # distinct words per doc; vote sums are order-independent, so
-            # set iteration order is irrelevant to the sketch
+            # distinct words per doc (pinned ASCII whitespace class — a
+            # bare str.split() splits on Unicode whitespace and diverges
+            # from the SQL oracle's RE2 class on NBSP etc.); vote sums
+            # are order-independent, so set iteration order is irrelevant
             doc_words = [
-                [w.encode("utf-8") for w in set(t.split())]
+                [w.encode("utf-8") for w in {x for x in TOKEN_SPLIT_PY.split(t) if x}]
                 if isinstance(t, str)
                 else []
                 for t in pdf[text_col]

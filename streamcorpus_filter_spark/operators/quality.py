@@ -89,11 +89,16 @@ def with_structural_signals(
             lambda x: x.endswith(".") | x.endswith("!") | x.endswith("?") | x.endswith("。"),
         )
     )
-    # top word-bigram frequency: sorted grams -> longest equal run (JVM HOFs)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # top word-bigram frequency: sorted grams -> longest equal run (JVM HOFs).
+    # sequence(1, n) with n < 1 DESCENDS ([1, 0]) instead of being empty and
+    # element_at(toks, 0) throws — docs with < 2 words short-circuit to []
+    grams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     top2 = F.aggregate(
         F.sort_array(grams),
         F.struct(

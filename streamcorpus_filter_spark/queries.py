@@ -268,5 +268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     for name in list(ORACLE_LAZY):
-        ORACLE_SQL[name] = ORACLE_LAZY.pop(name)()
+        # materialize BEFORE popping: a thunk that raises (e.g. missing
+        # training parquet) must stay registered so a retried call errors
+        # again instead of silently downgrading the query to unchecked
+        ORACLE_SQL[name] = ORACLE_LAZY[name]()
+        del ORACLE_LAZY[name]
     return _run_ordered(ORACLE_SQL)
