@@ -154,7 +154,21 @@ def ql_repetition(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ql_extract_text",
-    "SELECT doc_id, text AS extracted FROM documents",
+    # the extraction kernel's whitespace canonicalization, restated in
+    # SQL (kernels/extract.py:41-42): per line, horizontal-whitespace
+    # runs collapse to one space, lines are stripped, empty lines drop.
+    # (Matches the kernel for text without edge non-ASCII whitespace or
+    # html metachars — the fixture wrap guarantees the latter.)
+    """
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_filter(
+               list_transform(string_split(text, chr(10)),
+                 l -> trim(regexp_replace(l, '[ \t\r\f\x0B]+', ' ', 'g'))),
+               l -> l <> ''),
+             chr(10)), '') AS extracted
+    FROM documents
+    """,
 )
 def ql_extract_text(spark: SparkSession, sf: str) -> DataFrame:
     """HTML round-trip through the canonical extraction kernel: wrap the

@@ -62,6 +62,10 @@ QUERIES_UNDER_TEST = [
     "udf_arrow_batch",
     "ql_ac_match",
     "flagship_filter_agg",
+    "ql_ac_spans",
+    "ql_pii_scrub",
+    "ql_toxicity_scrub",
+    "ql_extract_text",
 ]
 
 _TEXTS = [
