@@ -365,9 +365,9 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     SELECT q.vec_id AS query_id, nn.vec_id AS nn_id,
            round(nn.cos, 4) AS cosine
     FROM q, LATERAL (
-      SELECT e.vec_id, list_cosine_similarity(q.embedding, e.embedding) AS cos
+      SELECT e.vec_id, CASE WHEN list_inner_product(q.embedding, q.embedding) > 0 AND list_inner_product(e.embedding, e.embedding) > 0 THEN list_cosine_similarity(q.embedding, e.embedding) ELSE 0.0 END AS cos
       FROM embeddings e WHERE e.vec_id <> q.vec_id
-      ORDER BY cos DESC, e.vec_id LIMIT 1
+      ORDER BY round(CASE WHEN list_inner_product(q.embedding, q.embedding) > 0 AND list_inner_product(e.embedding, e.embedding) > 0 THEN list_cosine_similarity(q.embedding, e.embedding) ELSE 0.0 END, 6) DESC, e.vec_id LIMIT 1
     ) nn
     """,
 )
@@ -383,7 +383,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("nn_id"),
         cosine_expr(F.col("qv"), F.col("embedding")).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "nn_id")
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 6).desc(), "nn_id")
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -402,7 +402,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
       SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+               ORDER BY round(CASE WHEN list_inner_product(q.embedding, q.embedding) > 0 AND list_inner_product(e.embedding, e.embedding) > 0 THEN list_cosine_similarity(q.embedding, e.embedding) ELSE 0.0 END, 6) DESC, e.vec_id
              ) AS rank
       FROM q, embeddings e WHERE e.vec_id <> q.vec_id
     ) WHERE rank <= 10
@@ -423,7 +423,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("nn_id"),
         cosine_expr(F.col("qv"), F.col("embedding")).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "nn_id")
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 6).desc(), "nn_id")
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
@@ -471,7 +471,7 @@ def _lsh_oracle() -> str:
     ),
     scored AS (
       SELECT c.query_id, c.nn_id,
-             list_cosine_similarity(qe.embedding, ne.embedding) AS cos
+             CASE WHEN list_inner_product(qe.embedding, qe.embedding) > 0 AND list_inner_product(ne.embedding, ne.embedding) > 0 THEN list_cosine_similarity(qe.embedding, ne.embedding) ELSE 0.0 END AS cos
       FROM cands c
       JOIN embeddings qe ON qe.vec_id = c.query_id
       JOIN embeddings ne ON ne.vec_id = c.nn_id
@@ -479,7 +479,7 @@ def _lsh_oracle() -> str:
     SELECT query_id, nn_id, rank, round(cos, 4) AS cosine FROM (
       SELECT query_id, nn_id, cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, nn_id) AS rank
+                                ORDER BY round(cos, 6) DESC, nn_id) AS rank
       FROM scored
     ) WHERE rank <= 10
     """
@@ -538,7 +538,7 @@ def sim_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         .join(ev, F.col("vec_id") == F.col("nn_id"))
         .select("query_id", "nn_id", cosine_expr(F.col("qv"), F.col("embedding")).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "nn_id")
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 6).desc(), "nn_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
@@ -611,7 +611,7 @@ def _ivf_oracle() -> str:
     ),
     scored AS (
       SELECT c.query_id, c.nn_id,
-             list_cosine_similarity(qe.embedding, ne.embedding) AS cos
+             CASE WHEN list_inner_product(qe.embedding, qe.embedding) > 0 AND list_inner_product(ne.embedding, ne.embedding) > 0 THEN list_cosine_similarity(qe.embedding, ne.embedding) ELSE 0.0 END AS cos
       FROM cands c
       JOIN embeddings qe ON qe.vec_id = c.query_id
       JOIN embeddings ne ON ne.vec_id = c.nn_id
@@ -619,7 +619,7 @@ def _ivf_oracle() -> str:
     SELECT query_id, nn_id, rank, round(cos, 4) AS cosine FROM (
       SELECT query_id, nn_id, cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, nn_id) AS rank
+                                ORDER BY round(cos, 6) DESC, nn_id) AS rank
       FROM scored
     ) WHERE rank <= 10
     """
@@ -697,7 +697,7 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             "query_id", "nn_id", cosine_expr(F.col("qv"), F.col("embedding")).alias("cos")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "nn_id")
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 6).desc(), "nn_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)

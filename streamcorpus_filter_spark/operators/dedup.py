@@ -185,7 +185,11 @@ def cosine_expr(x: Column, y: Column) -> Column:
     ny = F.sqrt(
         F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
-    return dot / (nx * ny)
+    # zero-norm guard: cosine vs the zero vector is DEFINED as 0.0 (real
+    # embedding tables contain zero rows — padding, failed encoders) —
+    # without it ANSI mode throws DIVIDE_BY_ZERO and kills the job
+    denom = nx * ny
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 # ------------------------------------------------------------------ simhash
