@@ -77,12 +77,15 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the near-dup pair graph (jaccard >= 0.2
     on the twinned corpus): every doc labeled with the smallest doc_id
     reachable from it; singletons label themselves. Iterative min-label
-    propagation — each round one shuffle join of labels against the
-    (tiny, cached) edge list, converging in diameter rounds (2-3 on
-    near-dup graphs, whose components are clique-ish). The driver-side
-    loop with a convergence action is the standard Spark shape for
-    iterative graph algorithms; at 10^11 edges the round body becomes
-    alternating large-star/small-star and edges stay on disk."""
+    propagation WITH pointer jumping — each round joins labels against
+    the (tiny, cached) edge list for the one-hop neighbor minimum, then
+    against themselves (label := label-of-label), so reach DOUBLES per
+    round and convergence is O(log diameter) rounds, not O(diameter):
+    a drifting-boilerplate chain of hundreds of pages converges in ~10
+    rounds where plain propagation needs hundreds. The driver-side loop
+    with a convergence action is the standard Spark shape for iterative
+    graph algorithms; at 10^11 edges the round body becomes alternating
+    large-star/small-star and edges stay on disk."""
     docs = _twinned(spark, sf).select("doc_id")
     sh = word_shingles(_twinned(spark, sf), "doc_id", "text", k=3)
     pairs = jaccard_pairs(sh, "doc_id", threshold=0.2, max_df=MAX_SHINGLE_DF)
@@ -94,7 +97,7 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
     converged = False
-    for _ in range(20):  # diameter bound; near-dup components are shallow
+    for _ in range(20):  # with pointer jumping: covers diameter ~2^20
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
@@ -109,13 +112,31 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("component_id"),
             )
         )
-        new = new.cache()
+        # pointer jump: label := min(label, label[label]) — component ids
+        # are doc_ids, so the parent lookup is a self-join on the label
+        parent = new.select(
+            F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_comp")
+        )
+        new = (
+            new.join(parent, new.component_id == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("p_comp", F.col("component_id"))
+                ).alias("component_id"),
+            )
+        )
+        # break lineage every round: the parent self-join references the
+        # round's plan TWICE, so without truncation the logical plan
+        # doubles per round (2^rounds nodes — observed as an OOM in plan
+        # stringification long before any data pressure). localCheckpoint
+        # materializes the tiny label table and restarts the plan.
+        new = new.localCheckpoint(eager=True)
         changed = (
             new.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
             .filter(F.col("component_id") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             converged = True
@@ -127,8 +148,9 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         # oracle labels it fully — fail loudly instead of mismatching
         raise RuntimeError(
             "dedup_cluster_components: min-label propagation did not "
-            "converge within 20 rounds (component diameter > 20); raise "
-            "the cap or switch to large-star/small-star rounds"
+            "converge within 20 pointer-jumping rounds (component "
+            "diameter beyond ~2^20); raise the cap or switch to "
+            "large-star/small-star rounds"
         )
     return labels
 

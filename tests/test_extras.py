@@ -179,3 +179,42 @@ def test_csv_json_scans_roundtrip_exactly(spark, reg):
     for name in ("scan_csv", "scan_json"):
         got = sorted(map(tuple, reg.QUERIES[name](spark, SF_SMALL).collect()))
         assert got == base, name
+
+
+def test_cluster_components_long_chain_converges(spark, reg):
+    """A drifting-boilerplate CHAIN (each doc shares a 15-word window
+    only with its neighbors: adjacent jaccard ~0.3, skip-1 ~0.0) of
+    diameter 25 must converge to ONE component — pointer jumping reaches
+    it in O(log d) rounds where plain one-hop propagation would need 25.
+    Uses a custom corpus dir to control the graph shape exactly."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    words = [f"w{i}" for i in range(800)]
+    texts = [" ".join(words[i * 15 : i * 15 + 30]) for i in range(26)]
+    d = tempfile.mkdtemp(prefix="chain_")
+    t = pa.table(
+        {
+            "doc_id": list(range(1, 27)),  # avoid %10==0 twin noise on 0
+            "text": texts,
+            "lang": ["en"] * 26,
+            "source": ["src0"] * 26,
+            "n_chars": [len(t_) for t_ in texts],
+        },
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+    rows = reg.QUERIES["dedup_cluster_components"](spark, d).collect()
+    labels = {r.doc_id: r.component_id for r in rows}
+    chain_labels = {labels[i] for i in range(1, 27)}
+    assert chain_labels == {1}, sorted(chain_labels)
