@@ -408,3 +408,63 @@ def txt_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "bucket", "pack_id")
     )
+
+
+# --------------------------------------------------- character entropy
+
+# gibberish gate: natural prose has char entropy ~3-4.5 nats; repeated-
+# character junk and template sludge sit far below. Threshold in nats.
+_ENTROPY_GATE = 2.0
+
+
+@register(
+    "txt_char_entropy",
+    f"""
+    WITH c AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0
+    ),
+    f AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+    h AS (
+      SELECT doc_id,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS ent
+      FROM f GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(coalesce(h.ent, 0.0), 4) AS char_entropy,
+           coalesce(h.ent, 0.0) < {_ENTROPY_GATE} AS low_entropy
+    FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+    """,
+)
+def txt_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc Shannon character entropy (nats) + a low-entropy gibberish
+    flag — the cheap quality signal that catches repeated-character junk,
+    template sludge, and binary-pasted-as-text that length/stopword rules
+    miss. H = ln(n) - sum(c*ln(c))/n over per-char counts, a form whose
+    float ops both engines evaluate on identical integer inputs (round-4
+    on the reported value absorbs the last-ulp ln differences; empty
+    docs define H = 0).
+
+    Scale shape: explode chars -> per-(doc,char) count with map-side
+    partial agg (at most |alphabet| rows per doc survive the combine) ->
+    per-doc fold. Two shuffles, both on keys that cannot skew beyond
+    doc_id granularity."""
+    d = load(spark, sf, "documents")
+    f = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    h = f.groupBy("doc_id").agg(
+        (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")).alias("ent")
+    )
+    return (
+        d.select("doc_id")
+        .join(h, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("ent", F.lit(0.0)), 4).alias("char_entropy"),
+            (F.coalesce("ent", F.lit(0.0)) < _ENTROPY_GATE).alias("low_entropy"),
+        )
+    )

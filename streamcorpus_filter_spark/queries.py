@@ -227,6 +227,7 @@ RUN_ORDER = [
     "txt_top_ngrams", "txt_contamination", "emb_label_centroid",
     "ql_classifier_score", "ql_stratified_sample", "txt_salient_terms",
     "curation_pipeline", "ql_source_mix", "txt_pack_bins",
+    "txt_char_entropy",
     "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
     "ql_repetition", "ql_c4_rules", "ql_dedup_exact", "ql_metrics_rollup",
     "dedup_embedding_cosine", "sim_topk_bruteforce",

@@ -42,6 +42,7 @@ QUERIES_UNDER_TEST = [
     "txt_contamination",
     "txt_salient_terms",
     "txt_pack_bins",
+    "txt_char_entropy",
     "ql_classifier_score",
     "ql_stratified_sample",
     "ql_source_mix",

@@ -192,3 +192,21 @@ def test_pack_bins_deterministic_and_capacity_bounded(spark, reg):
         pairs.sort()
         want_pack = [i // _PACK_CAP for i in range(len(pairs))]
         assert [p for _, p in pairs] == want_pack, bucket
+
+
+def test_char_entropy_matches_python(spark, reg, docs):
+    import math
+    from collections import Counter
+
+    rows = {r.doc_id: r for r in reg.QUERIES["txt_char_entropy"](spark, SF_SMALL).collect()}
+    assert len(rows) == len(docs)
+    for doc_id, text, _l, _n in docs:
+        if text:
+            c = Counter(text)
+            n = len(text)
+            want = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        else:
+            want = 0.0
+        got = rows[doc_id]
+        assert abs(got.char_entropy - round(want, 4)) < 1e-9, doc_id
+        assert got.low_entropy == (want < 2.0)
