@@ -115,20 +115,28 @@ class SnapshotCatalog:
         # the sequence, and retry — so two concurrent appends serialize
         # into parent->child instead of one silently shadowing the other.
         tmp = self.root / "snapshots" / f".tmp-{snap_id}"
-        for _attempt in range(100):
-            manifest["sequence"] = seq
-            manifest["parent_id"] = parent["snapshot_id"] if parent else None
-            tmp.write_text(json.dumps(manifest, indent=2))
-            final = self.root / "snapshots" / f"{seq:08d}.json"
-            try:
-                os.link(tmp, final)
-            except FileExistsError:
-                parent = self.latest_snapshot()
-                seq = (parent["sequence"] + 1) if parent else seq + 1
-                continue
-            os.unlink(tmp)
-            return manifest
-        raise RuntimeError("snapshot commit contention: 100 retries exhausted")
+        try:
+            for _attempt in range(100):
+                manifest["sequence"] = seq
+                manifest["parent_id"] = parent["snapshot_id"] if parent else None
+                tmp.write_text(json.dumps(manifest, indent=2))
+                final = self.root / "snapshots" / f"{seq:08d}.json"
+                try:
+                    os.link(tmp, final)
+                except FileExistsError:
+                    parent = self.latest_snapshot()
+                    seq = (parent["sequence"] + 1) if parent else seq + 1
+                    continue
+                return manifest
+            raise RuntimeError(
+                "snapshot commit contention: 100 retries exhausted"
+            )
+        finally:
+            # unlink on ALL exit paths (success, contention exhaustion, or
+            # any unexpected exception) — a leaked .tmp-* is invisible to
+            # readers (dot-files fall outside the *.json glob) but would
+            # accumulate in snapshots/ across driver runs
+            tmp.unlink(missing_ok=True)
 
     # ---------------------------------------------------------------- read
 

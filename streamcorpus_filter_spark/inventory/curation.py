@@ -317,7 +317,7 @@ def _mix_case_sql() -> str:
              (milli // 1000) + CASE WHEN bucket < (milli % 1000) THEN 1 ELSE 0 END AS n_copies
       FROM d
     )
-    SELECT doc_id, source, CAST(r.i AS INT) AS copy_idx
+    SELECT doc_id, source, CAST(r.i AS BIGINT) AS copy_idx
     FROM n, UNNEST(range(1, n_copies + 1)) AS r(i)
     WHERE n_copies > 0
     """,
@@ -450,9 +450,12 @@ def txt_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     per-doc fold. Two shuffles, both on keys that cannot skew beyond
     doc_id granularity."""
     d = load(spark, sf, "documents")
+    # explicit empty-filter: split(text, '') not emitting a trailing ''
+    # is only guaranteed since SPARK-40194 (3.4); pin the semantics
+    chars = F.filter(F.split("text", ""), lambda x: x != F.lit(""))
     f = (
         d.filter(F.length("text") > 0)
-        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .select("doc_id", F.explode(chars).alias("ch"))
         .groupBy("doc_id", "ch")
         .agg(F.count("*").alias("c"))
     )

@@ -4,11 +4,10 @@ SURVEY.md §2).
 
 `dedup_cluster_components` is the step AFTER near-dup pair generation in a
 real dedup pipeline: pairs -> connected components -> one canonical doc
-per component. Spark side is iterative min-label propagation (a driver
-loop of joins, converging in graph-diameter rounds; for web-scale graphs
-swap the body for alternating large-star/small-star, which bounds the
-round count at O(log^2 n) — the loop seam is the same). The DuckDB oracle
-computes the same components with a recursive transitive-closure CTE.
+per component. Spark side is alternating large-star/small-star rounds on
+the edge set (Kiveris et al., O(log^2 n) rounds, skew-balanced: min-agg +
+join-back, never a collected neighbor list). The DuckDB oracle computes
+the same components with a recursive transitive-closure CTE.
 """
 
 from __future__ import annotations
@@ -55,6 +54,47 @@ _PAIRS_SQL = f"""
 """
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node u connects each STRICTLY LARGER
+    neighbor to m = min(N(u) ∪ {u}). Input/output edges oriented
+    (u > v). Formulated as min-agg + join-back — NEVER collect_list —
+    so a mega-star component costs a map-side-combinable min plus an
+    equi-join whose build side is one row per node (AQE can split the
+    skewed probe partition); no single reducer ever sees a full
+    neighbor list."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mnv"))
+        .select("u", F.least("_mnv", "u").alias("mn"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node u connects each smaller-or-self
+    neighbor (and itself) to m = min(N⁻(u) ∪ {u}). Input edges oriented
+    (u > v), so m = min(v); same min-agg + join-back shape as
+    ``_large_star``."""
+    m = edges.groupBy("u").agg(F.min("v").alias("mn"))
+    rewired = (
+        edges.join(m, "u")
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_edge = m.select("u", F.col("mn").alias("v"))
+    return rewired.unionByName(self_edge).distinct()
+
+
 @register(
     "dedup_cluster_components",
     f"""
@@ -76,83 +116,66 @@ _PAIRS_SQL = f"""
 def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the near-dup pair graph (jaccard >= 0.2
     on the twinned corpus): every doc labeled with the smallest doc_id
-    reachable from it; singletons label themselves. Iterative min-label
-    propagation WITH pointer jumping — each round joins labels against
-    the (tiny, cached) edge list for the one-hop neighbor minimum, then
-    against themselves (label := label-of-label), so reach DOUBLES per
-    round and convergence is O(log diameter) rounds, not O(diameter):
-    a drifting-boilerplate chain of hundreds of pages converges in ~10
-    rounds where plain propagation needs hundreds. The driver-side loop
-    with a convergence action is the standard Spark shape for iterative
-    graph algorithms; at 10^11 edges the round body becomes alternating
-    large-star/small-star and edges stay on disk."""
+    reachable from it; singletons label themselves.
+
+    Algorithm: alternating large-star / small-star rounds on the edge
+    set itself (O(log² n) round bound, proven) instead of round-1's
+    label propagation. Two scale properties motivate the switch:
+    (1) *skew* — both star ops are a map-side-combinable min plus an
+    equi-join against a one-row-per-node table, so a single mega-cluster
+    (one viral boilerplate page duplicated everywhere) never funnels a
+    whole neighbor list through one reducer the way a neighbor-min
+    groupBy over labels did; (2) *doubling* — large-star hangs every
+    high node directly off its neighborhood minimum, which halves path
+    lengths like pointer jumping, so chain diameter converges in
+    O(log d) effective rounds too. Converged state = disjoint stars:
+    every non-root points straight at its component min."""
     docs = _twinned(spark, sf).select("doc_id")
     sh = word_shingles(_twinned(spark, sf), "doc_id", "text", k=3)
     pairs = jaccard_pairs(sh, "doc_id", threshold=0.2, max_df=MAX_SHINGLE_DF)
-    edges = (
-        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .distinct()
-        .cache()
-    )
-    labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
+    # orient (u > v); jaccard_pairs emits a < b
+    edges = pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    # materialize the pair-generation plan once; every round and the
+    # convergence check re-reads it
+    edges = edges.localCheckpoint(eager=True)
     converged = False
-    for _ in range(20):  # with pointer jumping: covers diameter ~2^20
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .groupBy("u")
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        new = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
-                ).alias("component_id"),
-            )
-        )
-        # pointer jump: label := min(label, label[label]) — component ids
-        # are doc_ids, so the parent lookup is a self-join on the label
-        parent = new.select(
-            F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_comp")
-        )
-        new = (
-            new.join(parent, new.component_id == parent.p_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("p_comp", F.col("component_id"))
-                ).alias("component_id"),
-            )
-        )
-        # break lineage every round: the parent self-join references the
-        # round's plan TWICE, so without truncation the logical plan
-        # doubles per round (2^rounds nodes — observed as an OOM in plan
-        # stringification long before any data pressure). localCheckpoint
-        # materializes the tiny label table and restarts the plan.
+    for _round in range(30):  # alternating rounds: O(log² n) bound
+        new = _small_star(_large_star(edges))
+        # break lineage every round: each star op references its input
+        # twice (agg + join-back), so the logical plan doubles per round
+        # without truncation — plan-stringification OOM long before any
+        # data pressure. localCheckpoint materializes the (small) edge
+        # table and restarts the plan; at 10^11 edges this becomes a
+        # reliable checkpoint() to HDFS/object storage, same seam.
         new = new.localCheckpoint(eager=True)
         changed = (
-            new.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
-            .filter(F.col("component_id") != F.col("old"))
-            .count()
+            new.unionByName(edges).distinct().count() != edges.count()
+            or new.count() != edges.count()
         )
-        labels = new
-        if changed == 0:
+        edges = new
+        if not changed:
             converged = True
             break
     if not converged:
         # a silent exit here would return split labels for any component
-        # whose diameter exceeds the round cap (e.g. a chain of gradually
-        # drifting boilerplate pages) while the exact-transitive-closure
-        # oracle labels it fully — fail loudly instead of mismatching
+        # still mid-contraction while the exact-transitive-closure oracle
+        # labels it fully — fail loudly instead of mismatching
         raise RuntimeError(
-            "dedup_cluster_components: min-label propagation did not "
-            "converge within 20 pointer-jumping rounds (component "
-            "diameter beyond ~2^20); raise the cap or switch to "
-            "large-star/small-star rounds"
+            "dedup_cluster_components: large-star/small-star did not "
+            "converge within 30 alternating rounds; raise the cap"
         )
-    return labels
+    # converged stars: every non-root appears exactly once as u -> min;
+    # roots and singletons label themselves
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component_id")
+    )
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+    )
 
 
 # --------------------------------------------------- corpus n-gram stats

@@ -196,59 +196,61 @@ from .inventory import (  # noqa: E402,F401
 # --------------------------------------------------------------------------
 
 # Driver run order (the driver iterates queries() in dict order and may
-# time-box out — round 1 attested only the first 50 of 89). Cheap
-# JVM-only plans run first, Arrow-fence kernels second, and the
-# side-effecting / multi-job queries (catalog writes, streaming runs,
-# the full synthetic pipeline) last, so a time-box cuts the expensive
-# tail, not breadth. Anything registered but not listed is appended in
-# registration order (and covered by tests/test_plan_quality.py).
+# time-box out — r01 attested the first 50 of 89, r02 the first 50 of
+# 106). ROTATED for round 3 per VERDICT.md task 1: the 11 kernels that
+# were red in r01 (since fixed, judge-verified green, but never
+# re-attested by a driver row) run FIRST, then the 23 queries the
+# driver has never sampled at all (streaming, UDF surface, round-2
+# additions), then the 72 queries already green in CORRECTNESS_r01/r02
+# — so a time-box cuts rows the record already shows green, not the
+# ones it still shows red. Anything registered but not listed is
+# appended in registration order (tests/test_plan_quality.py covers the
+# full registry regardless).
 RUN_ORDER = [
-    # -- pure JVM relational: scans, projections, scalar funcs
-    "scan_parquet", "project_select", "project_derived", "filter_predicate",
-    "str_funcs", "date_funcs", "math_funcs", "array_funcs", "json_funcs",
-    "map_funcs",
-    # -- sorts / limits / sets
-    "sort_orderby", "limit_topk", "set_union_all", "set_intersect",
-    "set_except",
-    # -- windows
-    "window_row_number", "window_rank_dense", "window_lag_lead",
-    "window_frame_rows", "window_frame_range", "limit_topk_per_group",
-    # -- aggregations
-    "agg_groupby_basic", "agg_count_distinct", "agg_approx_distinct",
-    "agg_distinct_rows", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_filtered_pivot", "agg_collect", "agg_percentile", "skew_salted_agg",
-    "skew_aqe_join",
-    # -- joins (non-side-effecting)
-    "join_hash_inner", "join_broadcast", "join_left_outer", "join_left_semi",
-    "join_left_anti", "join_full_outer", "join_range_theta",
-    "join_asof_interval", "join_cross",
-    # -- JVM-only text / multimodal / dedup / quality signals
-    "txt_token_count", "txt_fingerprint", "txt_quality_score",
-    "txt_top_ngrams", "txt_contamination", "emb_label_centroid",
-    "ql_classifier_score", "ql_stratified_sample", "txt_salient_terms",
-    "curation_pipeline", "ql_source_mix", "txt_pack_bins",
-    "txt_char_entropy",
-    "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
-    "ql_repetition", "ql_c4_rules", "ql_dedup_exact", "ql_metrics_rollup",
-    "dedup_embedding_cosine", "sim_topk_bruteforce",
-    # -- Arrow-fence kernels (pandas/Arrow UDF surface)
+    # -- tier 1: red in CORRECTNESS_r01, fixed, never driver-re-attested
+    "ql_langid", "ql_perplexity", "txt_rolling_fp",
+    "mm_decode_features", "mm_resize", "mm_frame_sample",
+    "dedup_minhash_lsh", "dedup_simhash",
+    "sim_lsh_bucketed", "sim_ivf_topk", "ql_pipeline_full",
+    # -- tier 2: never driver-sampled (round-2 additions, UDF surface,
+    #    streaming) — cheap JVM ones first within the tier
+    "txt_salient_terms", "ql_source_mix", "txt_pack_bins",
+    "txt_char_entropy", "curation_pipeline",
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
-    "ql_extract_text", "ql_pii_scrub", "ql_toxicity_scrub",
-    "ql_langid", "ql_perplexity",
-    "ql_ac_match", "flagship_filter_agg", "ql_ac_spans",
-    "txt_rolling_fp", "mm_decode_features", "mm_resize", "mm_frame_sample",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_lsh_bucketed", "sim_ivf_topk",
-    # -- side-effecting / multi-job tail
-    "dedup_cluster_components", "scan_csv", "scan_json",
-    "join_bucketed", "sink_partitioned", "scan_iceberg_snapshot",
-    "scan_iceberg_incremental",
-    "sink_metrics", "ql_checkpoint_resume", "ql_pipeline_full",
+    "scan_csv", "scan_json", "scan_iceberg_incremental",
+    "dedup_cluster_components",
     "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
     "stream_session_window", "stream_dedup_watermark",
     "stream_stateful_counts", "stream_sink_checkpoint",
     "stream_flagship_filter",
+    # -- tier 3: already driver-green (r01/r02) — cheap JVM relational
+    "scan_parquet", "project_select", "project_derived", "filter_predicate",
+    "str_funcs", "date_funcs", "math_funcs", "array_funcs", "json_funcs",
+    "map_funcs",
+    "sort_orderby", "limit_topk", "set_union_all", "set_intersect",
+    "set_except",
+    "window_row_number", "window_rank_dense", "window_lag_lead",
+    "window_frame_rows", "window_frame_range", "limit_topk_per_group",
+    "agg_groupby_basic", "agg_count_distinct", "agg_approx_distinct",
+    "agg_distinct_rows", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_filtered_pivot", "agg_collect", "agg_percentile", "skew_salted_agg",
+    "skew_aqe_join",
+    "join_hash_inner", "join_broadcast", "join_left_outer", "join_left_semi",
+    "join_left_anti", "join_full_outer", "join_range_theta",
+    "join_asof_interval", "join_cross",
+    "txt_token_count", "txt_fingerprint", "txt_quality_score",
+    "txt_top_ngrams", "txt_contamination", "emb_label_centroid",
+    "ql_classifier_score", "ql_stratified_sample",
+    "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
+    "ql_repetition", "ql_c4_rules", "ql_dedup_exact", "ql_metrics_rollup",
+    "dedup_embedding_cosine", "sim_topk_bruteforce",
+    "ql_extract_text", "ql_pii_scrub", "ql_toxicity_scrub",
+    "ql_ac_match", "flagship_filter_agg", "ql_ac_spans",
+    "dedup_ngram_jaccard",
+    # -- tier 3 side-effecting tail
+    "join_bucketed", "sink_partitioned", "scan_iceberg_snapshot",
+    "sink_metrics", "ql_checkpoint_resume",
 ]
 
 

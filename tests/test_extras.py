@@ -181,6 +181,49 @@ def test_csv_json_scans_roundtrip_exactly(spark, reg):
         assert got == base, name
 
 
+def test_star_rounds_planted_mega_star_and_chain(spark):
+    """Skew shape for large-star/small-star (VERDICT r2 task 5): ONE
+    mega-star (hub 500 with 400 leaves — the viral-boilerplate cluster
+    that made the old neighbor-min groupBy a single hot reducer) plus a
+    diameter-60 chain, in one graph. The alternating rounds must (a)
+    converge well inside the 30-round cap, (b) label every star node
+    with the component min, (c) label the whole chain with its min —
+    and the round body must stay min-agg + join-back (asserted on the
+    physical plan: no CollectList aggregate anywhere)."""
+    import pyspark.sql.functions as F
+
+    from streamcorpus_filter_spark.inventory.extras import _large_star, _small_star
+
+    # mega-star: hub 500, leaves 501..900 (component min = 500)
+    star = [(leaf, 500) for leaf in range(501, 901)]
+    # chain: 1-2-...-61 (component min = 1)
+    chain = [(i + 1, i) for i in range(1, 61)]
+    edges = spark.createDataFrame(star + chain, "u long, v long")
+    plan = _small_star(_large_star(edges))._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "CollectList" not in plan
+
+    edges = edges.localCheckpoint(eager=True)
+    rounds = 0
+    for rounds in range(1, 31):
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        same = (
+            new.unionByName(edges).distinct().count() == edges.count()
+            and new.count() == edges.count()
+        )
+        edges = new
+        if same:
+            break
+    assert rounds < 15, f"no convergence by round {rounds}"
+    labels = {r.u: r.v for r in edges.collect()}
+    for leaf in range(501, 901):
+        assert labels[leaf] == 500, (leaf, labels[leaf])
+    for node in range(2, 62):
+        assert labels[node] == 1, (node, labels[node])
+    # roots never appear as a non-root
+    assert 500 not in labels or labels.get(500) == 500
+    assert 1 not in labels or labels.get(1) == 1
+
+
 def test_cluster_components_long_chain_converges(spark, reg):
     """A drifting-boilerplate CHAIN (each doc shares a 15-word window
     only with its neighbors: adjacent jaccard ~0.3, skip-1 ~0.0) of
