@@ -148,9 +148,17 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         # table and restarts the plan; at 10^11 edges this becomes a
         # reliable checkpoint() to HDFS/object storage, same seam.
         new = new.localCheckpoint(eager=True)
+        # set-equality in ONE job: both sides are distinct, so tagging
+        # new=1 / old=2 and summing per edge yields 3 iff present in both
         changed = (
-            new.unionByName(edges).distinct().count() != edges.count()
-            or new.count() != edges.count()
+            new.withColumn("_s", F.lit(1))
+            .unionByName(edges.withColumn("_s", F.lit(2)))
+            .groupBy("u", "v")
+            .agg(F.sum("_s").alias("_s"))
+            .filter(F.col("_s") != 3)
+            .limit(1)
+            .count()
+            > 0
         )
         edges = new
         if not changed:

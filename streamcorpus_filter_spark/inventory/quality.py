@@ -4,13 +4,16 @@ The pages-corpus pipeline itself is verified by the L2 oracle-parity tests
 (tests/test_quality_parity.py); these registrations give the DRIVER a
 per-operator checkable surface on the ten fixture tables:
 
-  SQL-oracled : ql_gopher_rules, ql_keep_drop (structural cascade),
-                ql_repetition (top-bigram), ql_extract_text (round-trip),
-                ql_pii_scrub (planted emails), ql_toxicity_scrub (planted
-                term), ql_dedup_exact, ql_metrics_rollup
-  rows-only   : ql_langid, ql_perplexity (model outputs are not
-                SQL-expressible), ql_pipeline_full (end-to-end pipeline on
-                the deterministic synthetic pages corpus)
+Every registration here is SQL-oracled: the per-signal queries
+(ql_gopher_rules, ql_keep_drop, ql_repetition, ql_extract_text,
+ql_pii_scrub, ql_toxicity_scrub, ql_dedup_exact, ql_metrics_rollup)
+recompute their rule in DuckDB directly; ql_langid / ql_perplexity
+recompute NB argmax / LM log-likelihood from trained weights inlined as
+VALUES; and ql_pipeline_full (round 3) chains ALL of it — structural
+cascade, langid, perplexity, pattern counts, the ordered PII regex
+chain, and toxicity span-merge — into one recomputing SQL program over
+the inlined extracted pages corpus (no frozen registration-time
+constants remain).
 """
 
 from __future__ import annotations
@@ -557,34 +560,305 @@ def ql_perplexity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _pipeline_full_oracle() -> str:
-    """ql_pipeline_full's expected histogram, frozen as VALUES from the
-    INDEPENDENT row-at-a-time reference (oracle.py — pure-Python scalar
-    loops, disjoint from every vectorized kernel, SURVEY.md §0) run over
-    the same deterministic 600-page corpus at oracle-build time. The
-    driver's value-hash then checks the whole fused Spark pipeline
-    against the reference semantics end to end — the L2 parity claim
-    (F1=1.0) surfaced as a driver-attested row."""
+    """ql_pipeline_full's histogram RECOMPUTED by DuckDB (round-3 upgrade
+    from the round-2 frozen-VALUES snapshot, per VERDICT.md task 3): the
+    600-page corpus's *extracted text* is inlined as VALUES (extraction —
+    the shared canonical kernel — is the one Python-trusted boundary,
+    itself driver-checked by ql_extract_text and byte-equality-tested in
+    L2), and everything downstream is re-derived in SQL:
+
+      * the full 14-rule structural first-drop-wins cascade (Gopher +
+        C4 + repetition) over multi-line text,
+      * NB langid confidence from the trained weights inlined as VALUES,
+        over a hex-pair byte stream (pages are NOT ASCII — zh/é/Ü — so
+        bytes come from hex(encode(lower(txt))) pairs, not
+        ascii(substring(...)) like the ASCII-fixture oracles),
+      * char-trigram LM perplexity from the trained count tables,
+      * distinct-pattern counts via contains() over the name list
+        (patterns_matched only needs presence per surface form),
+      * the ordered PII regex chain — RE2 has no lookarounds, so each
+        lookaround rule becomes a capture-group boundary pattern applied
+        in TWO passes (pass 1 can miss a match whose leading boundary
+        char was consumed by the previous match's trailing group; the
+        restored '\\1'/'\\3' context makes pass 2 catch exactly those —
+        two passes suffice because misses alternate),
+      * toxicity spans by position scan with word-boundary checks,
+        span-merge via gaps-and-islands, TOX_DROP_HITS gate, and merged
+        span lengths as scrubbed bytes.
+
+    No registration-time constants from the Python reference remain —
+    if the pipeline's semantics drift, DuckDB disagrees."""
+    import numpy as np
+
+    from ..kernels import rules as R
+    from ..kernels.langid import CONF_SCALE, N_BUCKETS
+    from ..kernels.lm import ALPHA, B2, B3
     from ..models import default_charlm, default_langid, pages_filternames
-    from ..oracle import oracle_row
     from ..synth import TOXIC_LEXICON, make_pages
 
     pages = make_pages(600, seed=42)
-    langid, lm, fn = default_langid(), default_charlm(), pages_filternames()
-    toxic = [t for t, _s in TOXIC_LEXICON]
-    agg: dict[str, list[int]] = {}
-    for html in pages["html"]:
-        r = oracle_row(html, langid, lm, fn, toxic)
-        d = agg.setdefault(r.drop_reason or "KEEP", [0, 0, 0])
-        d[0] += 1
-        d[1] += r.patterns_matched or 0
-        d[2] += r.bytes_scrubbed or 0
-    rows = ", ".join(
-        f"('{v}', {d[0]}, {d[1]}, {d[2]})" for v, d in sorted(agg.items())
+    texts = pages["text"]  # extract_text(html) — the canonical kernel
+    page_vals = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in enumerate(texts)
     )
-    return (
-        f"SELECT verdict, docs, patterns, bytes_scrubbed "
-        f"FROM (VALUES {rows}) t(verdict, docs, patterns, bytes_scrubbed)"
+
+    # trained-model weight tables (same inlining as _langid_oracle /
+    # _perplexity_oracle — sparse deltas over a per-lang base)
+    m = default_langid()
+    w_rows, base_rows = [], []
+    for li, lang in enumerate(m.langs):
+        row = m.logp[li]
+        base = float(row.min())
+        base_rows.append(f"('{lang}', {_fmt(base)})")
+        for h in np.nonzero(row > base)[0]:
+            w_rows.append(f"('{lang}', {int(h)}, {_fmt(float(row[h]) - base)})")
+    lm = default_charlm()
+    c2_rows = [f"({int(h)}, {int(lm.c2[h])})" for h in np.nonzero(lm.c2 > 0)[0]]
+    c3_rows = [f"({int(h)}, {int(lm.c3[h])})" for h in np.nonzero(lm.c3 > 0)[0]]
+
+    names = pages_filternames().names
+    name_list = "[" + ", ".join("'" + n.replace("'", "''") + "'" for n in names) + "]"
+    term_vals = ", ".join(f"('{t}')" for t, _s in TOXIC_LEXICON)
+
+    # multi-line structural signals (rules.py structural_signals spec)
+    W = "list_filter(string_split_regex(txt, '[ \t\n\r\f\x0B]+'), w -> w <> '')"
+    L = "list_filter(string_split(txt, chr(10)), l -> l <> '')"
+    alpha_re = "[a-zA-Z\\x{00c0}-\\x{024f}\\x{4e00}-\\x{9fff}]"
+    n_term = " + ".join(
+        f"(length(txt) - length(replace(txt, '{c}', '')))" for c in R.TERMINAL_PUNCT
     )
+    bullets = " OR ".join(f"l LIKE '{p}%'" for p in R.BULLET_PREFIXES)
+    ellips = " OR ".join(f"l LIKE '%{s}'" for s in R.ELLIPSIS_SUFFIXES)
+    punct_set = ", ".join(f"'{c}'" for c in R.TERMINAL_PUNCT)
+
+    # PII chain: email is lookaround-free (one pass); ssn/phone/ipv4 get
+    # the two-pass boundary-group treatment. Patterns in RE2 syntax.
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
+    ssn = r"(^|[^0-9])([0-9]{3}-[0-9]{2}-[0-9]{4})([^0-9]|$)"
+    phone = (
+        r"(^|[^0-9+])((?:\+?1[ .-])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4})"
+        r"([^0-9]|$)"
+    )
+    ipv4 = r"(^|[^0-9.])((?:[0-9]{1,3}\.){3}[0-9]{1,3})([^0-9.]|$)"
+    scrub_ctes, prev = [], "sc0"
+    step = 1
+    for pat, repl, grp in [(email, "<EMAIL>", 0)] + [
+        (p, r, 2)
+        for p, r in [(ssn, "<SSN>"), (phone, "<PHONE>"), (ipv4, "<IP>")]
+        for _pass in (1, 2)
+    ]:
+        rew = repl if grp == 0 else rf"\1{repl}\3"
+        cur = f"sc{step}"
+        scrub_ctes.append(
+            f"""{cur} AS (
+      SELECT doc_id,
+             regexp_replace(t, '{pat}', '{rew}', 'g') AS t,
+             b + coalesce(list_aggregate(list_transform(
+                   regexp_extract_all(t, '{pat}', {grp}),
+                   x -> octet_length(encode(x))), 'sum'), 0) AS b
+      FROM {prev})"""
+        )
+        prev = cur
+        step += 1
+    scrub_sql = ",\n    ".join(scrub_ctes)
+
+    byte_expr = "CAST(('0x' || substring(hx, CAST(2 * i - 1 AS BIGINT), 2)) AS BIGINT)"
+    return f"""
+    WITH pages(doc_id, txt) AS MATERIALIZED (VALUES {page_vals}),
+    sb AS MATERIALIZED (SELECT doc_id, txt, {W} AS words, {L} AS lns FROM pages),
+    stopt(s) AS (VALUES {", ".join(f"('{w}')" for w in sorted(R.STOPWORD_SET))}),
+    wstat AS MATERIALIZED (
+      SELECT doc_id,
+             count(*) AS n_words,
+             sum(length(w)) AS sum_wl,
+             count(*) FILTER (WHERE regexp_matches(w, '{alpha_re}')) AS n_alpha,
+             count(*) FILTER (WHERE st.s IS NOT NULL) AS n_stop
+      FROM (SELECT doc_id, unnest(words) AS w FROM sb) wu
+      LEFT JOIN stopt st ON lower(wu.w) = st.s
+      GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+      FROM sb, UNNEST(range(1, len(words))) AS r(i)
+    ),
+    freq AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    topg AS MATERIALIZED (SELECT doc_id, max(c) AS t2 FROM freq GROUP BY doc_id),
+    sg AS (
+      SELECT sb.doc_id, txt,
+        coalesce(ws.n_words, 0) AS n_words,
+        greatest(coalesce(ws.n_words, 0), 1) AS nw,
+        greatest(len(lns), 1) AS n_lines,
+        coalesce(CAST(ws.sum_wl AS DOUBLE), 0.0) / greatest(coalesce(ws.n_words, 0), 1) AS mean_wl,
+        CAST((length(txt) - length(replace(txt, '#', '')))
+             + (length(txt) - length(replace(txt, '...', ''))) // 3 AS DOUBLE)
+          / greatest(coalesce(ws.n_words, 0), 1) AS sym_pw,
+        CAST(len(list_filter(lns, l -> {bullets})) AS DOUBLE) / greatest(len(lns), 1) AS bullet_frac,
+        CAST(len(list_filter(lns, l -> {ellips})) AS DOUBLE) / greatest(len(lns), 1) AS ellipsis_frac,
+        CAST(coalesce(ws.n_alpha, 0) AS DOUBLE) / greatest(coalesce(ws.n_words, 0), 1) AS alpha_frac,
+        coalesce(ws.n_stop, 0) AS n_stop,
+        contains(lower(txt), 'lorem ipsum') AS has_lorem,
+        contains(txt, '{{') AS has_brace,
+        {n_term} AS n_terminal,
+        CAST(len(list_filter(lns, l -> substring(l, length(l), 1) IN ({punct_set}))) AS DOUBLE) / greatest(len(lns), 1) AS line_punct_frac,
+        CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE) / greatest(len(lns), 1) AS dup_frac
+      FROM sb LEFT JOIN wstat ws ON sb.doc_id = ws.doc_id
+    ),
+    struct AS MATERIALIZED (
+      SELECT sg.doc_id, sg.txt,
+        CASE
+          WHEN n_words < {R.MIN_WORDS} THEN 'gopher_short'
+          WHEN n_words > {R.MAX_WORDS} THEN 'gopher_long'
+          WHEN NOT (mean_wl BETWEEN {R.MIN_MEAN_WORD_LEN} AND {R.MAX_MEAN_WORD_LEN}) THEN 'gopher_word_len'
+          WHEN sym_pw > {R.MAX_SYMBOL_TO_WORD} THEN 'gopher_symbol'
+          WHEN bullet_frac > {R.MAX_BULLET_LINE_FRAC} THEN 'gopher_bullet'
+          WHEN ellipsis_frac > {R.MAX_ELLIPSIS_LINE_FRAC} THEN 'gopher_ellipsis'
+          WHEN alpha_frac < {R.MIN_ALPHA_WORD_FRAC} THEN 'gopher_alpha'
+          WHEN n_stop < {R.MIN_STOPWORDS} THEN 'gopher_stopwords'
+          WHEN has_lorem THEN 'c4_lorem'
+          WHEN has_brace THEN 'c4_brace'
+          WHEN n_terminal < {R.MIN_TERMINAL_PUNCT} THEN 'c4_sentences'
+          WHEN line_punct_frac < {R.MIN_LINE_PUNCT_FRAC} THEN 'c4_line_punct'
+          WHEN dup_frac > {R.MAX_DUP_LINE_FRAC} THEN 'rep_dup_lines'
+          WHEN 2.0 * coalesce(topg.t2, 0) / sg.nw > {R.MAX_TOP2GRAM_FRAC} THEN 'rep_top2gram'
+        END AS sreason
+      FROM sg LEFT JOIN topg ON sg.doc_id = topg.doc_id
+    ),
+    surv AS (SELECT doc_id, txt FROM struct WHERE sreason IS NULL),
+    lb AS (
+      SELECT doc_id, hex(encode(lower(txt))) AS hx,
+             octet_length(encode(lower(txt))) AS n
+      FROM surv
+    ),
+    bb0 AS MATERIALIZED (
+      SELECT doc_id, i, {byte_expr} AS b0
+      FROM lb, UNNEST(range(1, n + 1)) AS r(i)
+    ),
+    bb AS MATERIALIZED (
+      SELECT doc_id, i, b0,
+             lead(b0, 1) OVER w AS b1,
+             lead(b0, 2) OVER w AS b2
+      FROM bb0
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    g AS (
+      SELECT doc_id, b0 % {N_BUCKETS} AS h FROM bb
+      UNION ALL
+      SELECT doc_id, (b0 * 31 + b1) % {N_BUCKETS} FROM bb WHERE b1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, ((b0 * 31 + b1) * 31 + b2) % {N_BUCKETS}
+      FROM bb WHERE b2 IS NOT NULL
+    ),
+    cg AS MATERIALIZED (SELECT doc_id, h, count(*) AS c FROM g GROUP BY doc_id, h),
+    ng AS (SELECT doc_id, sum(c) AS n_grams FROM cg GROUP BY doc_id),
+    w(l, h, delta) AS (VALUES {', '.join(w_rows)}),
+    base(l, b) AS (VALUES {', '.join(base_rows)}),
+    score AS (
+      SELECT cg.doc_id, base.l,
+             (coalesce(sum(cg.c * w.delta), 0.0)
+              + any_value(ng.n_grams) * base.b) / any_value(ng.n_grams) AS avg_ll
+      FROM cg
+      CROSS JOIN base
+      LEFT JOIN w ON w.l = base.l AND w.h = cg.h
+      JOIN ng ON ng.doc_id = cg.doc_id
+      GROUP BY cg.doc_id, base.l, base.b
+    ),
+    soft AS (
+      SELECT doc_id, l,
+             exp({CONF_SCALE} * avg_ll
+                 - max({CONF_SCALE} * avg_ll) OVER (PARTITION BY doc_id)) AS e,
+             row_number() OVER (PARTITION BY doc_id ORDER BY avg_ll DESC, l) AS rn
+      FROM score
+    ),
+    langc AS MATERIALIZED (
+      SELECT doc_id, e / (sum(e) OVER (PARTITION BY doc_id)) AS conf
+      FROM soft QUALIFY rn = 1
+    ),
+    hh AS (
+      SELECT doc_id,
+             (b0 * 31 + b1) % {B2} AS h2,
+             ((b0 * 31 + b1) * 31 + b2) % {B3} AS h3
+      FROM bb WHERE b2 IS NOT NULL
+    ),
+    c2(h, c) AS (VALUES {', '.join(c2_rows)}),
+    c3(h, c) AS (VALUES {', '.join(c3_rows)}),
+    lls AS (
+      SELECT doc_id,
+             ln(coalesce(c3.c, 0) + {ALPHA!r})
+             - ln(coalesce(c2.c, 0) + {ALPHA * 256!r}) AS ll
+      FROM hh LEFT JOIN c3 ON c3.h = hh.h3 LEFT JOIN c2 ON c2.h = hh.h2
+    ),
+    pplt AS MATERIALIZED (SELECT doc_id, exp(-avg(ll)) AS ppl FROM lls GROUP BY doc_id),
+    surv2 AS MATERIALIZED (
+      SELECT s.doc_id, s.txt
+      FROM surv s JOIN langc USING (doc_id) JOIN pplt USING (doc_id)
+      WHERE langc.conf >= {R.MIN_LANG_CONF} AND pplt.ppl <= {R.MAX_PPL}
+    ),
+    pats AS (
+      SELECT doc_id,
+             CAST(len(list_filter({name_list}, nm -> contains(lower(txt), nm))) AS BIGINT) AS patterns
+      FROM surv2
+    ),
+    sc0 AS (SELECT doc_id, txt AS t, CAST(0 AS BIGINT) AS b FROM surv2),
+    {scrub_sql},
+    terms(term) AS (VALUES {term_vals}),
+    lowt AS MATERIALIZED (SELECT doc_id, lower(t) AS lt, b AS pii_bytes FROM {prev}),
+    cand AS (SELECT doc_id, lt, term FROM lowt JOIN terms ON contains(lt, term)),
+    spans AS MATERIALIZED (
+      SELECT doc_id, r.i AS sb, r.i + length(term) AS se
+      FROM cand, UNNEST(range(1, length(lt) - length(term) + 2)) AS r(i)
+      WHERE substring(lt, CAST(r.i AS BIGINT), length(term)) = term
+        AND (r.i = 1 OR NOT regexp_matches(
+               substring(lt, CAST(r.i - 1 AS BIGINT), 1), '[a-z0-9_]'))
+        AND (r.i + length(term) > length(lt) OR NOT regexp_matches(
+               substring(lt, CAST(r.i + length(term) AS BIGINT), 1), '[a-z0-9_]'))
+    ),
+    toxh AS (SELECT doc_id, count(*) AS hits FROM spans GROUP BY doc_id),
+    isl AS (
+      SELECT doc_id, sb, se,
+             CASE WHEN sb > coalesce(max(se) OVER (
+                    PARTITION BY doc_id ORDER BY sb, se
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM spans
+    ),
+    isl2 AS (
+      SELECT doc_id, sb, se,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY sb, se
+                            ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    ),
+    mrg AS (SELECT doc_id, gid, max(se) - min(sb) AS ln FROM isl2 GROUP BY doc_id, gid),
+    toxb AS (SELECT doc_id, CAST(sum(ln) AS BIGINT) AS tox_bytes FROM mrg GROUP BY doc_id),
+    final AS (
+      SELECT st.doc_id,
+        CASE
+          WHEN st.sreason IS NOT NULL THEN st.sreason
+          WHEN lc.conf < {R.MIN_LANG_CONF} THEN 'lang_uncertain'
+          WHEN pp.ppl > {R.MAX_PPL} THEN 'high_ppl'
+          WHEN coalesce(th.hits, 0) >= {R.TOX_DROP_HITS} THEN 'toxic'
+          ELSE 'KEEP'
+        END AS verdict,
+        coalesce(pa.patterns, 0) AS patterns,
+        CASE
+          WHEN st.sreason IS NULL AND lc.conf >= {R.MIN_LANG_CONF}
+               AND pp.ppl <= {R.MAX_PPL} AND coalesce(th.hits, 0) < {R.TOX_DROP_HITS}
+          THEN coalesce(lw.pii_bytes, 0) + coalesce(tb.tox_bytes, 0)
+          ELSE 0
+        END AS bytes_scrubbed
+      FROM struct st
+      LEFT JOIN langc lc USING (doc_id)
+      LEFT JOIN pplt pp USING (doc_id)
+      LEFT JOIN pats pa USING (doc_id)
+      LEFT JOIN lowt lw USING (doc_id)
+      LEFT JOIN toxh th USING (doc_id)
+      LEFT JOIN toxb tb USING (doc_id)
+    )
+    SELECT verdict,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(patterns) AS BIGINT) AS patterns,
+           CAST(sum(bytes_scrubbed) AS BIGINT) AS bytes_scrubbed
+    FROM final GROUP BY verdict
+    """
 
 
 from ..queries import ORACLE_LAZY as _OL  # noqa: E402
