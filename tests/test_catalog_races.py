@@ -1,0 +1,142 @@
+"""Adversarial commit/resume torture tests for the snapshot catalog seam
+(VERDICT r2 task 6): concurrent-writer optimistic-commit races, crash
+mid-manifest-write, and resume idempotence under duplicated inputs."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+
+import pytest
+
+from streamcorpus_filter_spark.catalog import SnapshotCatalog
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id % 3 AS k")
+
+
+def _tmp_root():
+    return tempfile.mkdtemp(prefix="cat_race_")
+
+
+def test_injected_commit_collision_reparents_and_retries(spark, monkeypatch):
+    """Deterministic race: a competitor claims the sequence file between
+    our writer's latest_snapshot() read and its os.link claim. The writer
+    must NOT shadow or overwrite — it must re-read, re-parent onto the
+    competitor, and commit the next sequence."""
+    cat = SnapshotCatalog(_tmp_root())
+    first = cat.append(_df(spark, 0, 10))
+
+    real_link = os.link
+    injected = {"done": False}
+
+    def racing_link(src, dst, *a, **kw):
+        if not injected["done"]:
+            injected["done"] = True
+            # competitor commits sequence 1 first
+            competitor = dict(first)
+            competitor.update(
+                {"sequence": 1, "snapshot_id": "competitor0000!!",
+                 "parent_id": first["snapshot_id"], "input_files": []}
+            )
+            (cat.root / "snapshots" / "00000001.json").write_text(
+                json.dumps(competitor)
+            )
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    ours = cat.append(_df(spark, 10, 20))
+    monkeypatch.setattr(os, "link", real_link)
+
+    assert ours["sequence"] == 2
+    assert ours["parent_id"] == "competitor0000!!"
+    snaps = cat.snapshots()
+    assert [s["sequence"] for s in snaps] == [0, 1, 2]
+    # linear parent chain, no shadowed commits
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent_id"] == prev["snapshot_id"]
+    # no tmp litter
+    assert not list((cat.root / "snapshots").glob(".tmp-*"))
+
+
+def test_concurrent_threaded_appends_serialize(spark):
+    """8 appends from 4 threads: every commit lands, sequences come out
+    contiguous, the parent chain is linear, and reads see all rows."""
+    cat = SnapshotCatalog(_tmp_root())
+    errs: list[Exception] = []
+
+    def writer(base):
+        try:
+            for j in range(2):
+                cat.append(_df(spark, base + 100 * j, base + 100 * j + 10))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(1000 * i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    snaps = cat.snapshots()
+    assert [s["sequence"] for s in snaps] == list(range(8))
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent_id"] == prev["snapshot_id"]
+    assert cat.read(spark).count() == 80
+    assert not list((cat.root / "snapshots").glob(".tmp-*"))
+
+
+def test_crash_before_manifest_leaves_readers_clean(spark, monkeypatch):
+    """Kill after data files land but before the manifest claim: readers
+    must never see the orphaned data, the tmp manifest must not leak, and
+    the next append must commit the expected sequence."""
+    cat = SnapshotCatalog(_tmp_root())
+    cat.append(_df(spark, 0, 10))
+
+    def exploding_link(src, dst, *a, **kw):
+        raise OSError("simulated crash during manifest claim")
+
+    monkeypatch.setattr(os, "link", exploding_link)
+    with pytest.raises(OSError, match="simulated crash"):
+        cat.append(_df(spark, 10, 20))
+    monkeypatch.undo()
+
+    # orphan data dir exists but is invisible to readers
+    assert len(list((cat.root / "data").iterdir())) == 2
+    assert cat.read(spark).count() == 10
+    # the ADVICE fix: tmp manifest unlinked on the failure path too
+    assert not list((cat.root / "snapshots").glob(".tmp-*"))
+
+    nxt = cat.append(_df(spark, 20, 30))
+    assert nxt["sequence"] == 1
+    assert cat.read(spark).count() == 20
+
+
+def test_hard_kill_tmp_litter_is_invisible(spark):
+    """A .tmp-* file left by a SIGKILL'd writer (no finally ran) must not
+    corrupt the manifest chain or show up in snapshot listings."""
+    cat = SnapshotCatalog(_tmp_root())
+    (cat.root / "snapshots" / ".tmp-deadbeef").write_text('{"sequence": 99}')
+    cat.append(_df(spark, 0, 10))
+    snaps = cat.snapshots()
+    assert [s["sequence"] for s in snaps] == [0]
+    assert cat.read(spark).count() == 10
+
+
+def test_resume_is_idempotent_under_duplicated_inputs(spark):
+    """processed_inputs() is a set union across snapshots: inputs listed
+    twice (within a snapshot or across retried runs) count once, and the
+    resume anti-join keeps only genuinely new files."""
+    cat = SnapshotCatalog(_tmp_root())
+    cat.append(_df(spark, 0, 10), input_files=["a", "b", "a"])
+    cat.append(_df(spark, 10, 20), input_files=["b", "c"])
+    assert cat.processed_inputs() == {"a", "b", "c"}
+    batch = ["b", "c", "d"]
+    todo = [f for f in batch if f not in cat.processed_inputs()]
+    assert todo == ["d"]
+    # a retried run that re-lists an already-consumed input adds nothing
+    cat.append(_df(spark, 20, 30), input_files=["c"])
+    assert cat.processed_inputs() == {"a", "b", "c"}
