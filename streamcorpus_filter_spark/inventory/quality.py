@@ -401,8 +401,11 @@ def ql_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
 # The langid / perplexity kernels were rows-only in round 1 ("model
 # outputs are not SQL-expressible"). They ARE expressible: the trained
 # model is just numbers, and the fixture corpus is ASCII, so the DuckDB
-# oracle below re-derives the byte stream with ascii(substring(...)),
-# re-hashes the 1/2/3-grams with the same integer arithmetic, and
+# oracle below re-derives the byte stream (one vectorized
+# regexp_extract_all over hex(encode(...)) per doc — the correlated
+# UNNEST(range) + per-position substring it replaced planned as a
+# delim join and dominated sweep time), re-hashes the 1/2/3-grams
+# with the same integer arithmetic, and
 # recomputes the NB argmax / LM log-likelihood from the model weights
 # inlined as VALUES (only the ~3k seen buckets; unseen buckets collapse
 # to a per-lang constant). This is a full independent recomputation —
@@ -411,14 +414,20 @@ def ql_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
 # shared byte/gram CTE: one row per byte of lower(text), plus the next
 # two bytes via lead() windows (ASCII corpus: ascii(char) == utf-8 byte)
 _BYTES_CTE = """
+    bl AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(hex(encode(lower(text))), '..'),
+                            x -> CAST(('0x' || x) AS BIGINT)) AS bs
+      FROM documents
+    ),
     b AS (
-      SELECT doc_id, i,
-             ascii(substring(lower(text), CAST(i AS BIGINT), 1)) AS b0,
-             lead(ascii(substring(lower(text), CAST(i AS BIGINT), 1)), 1)
-               OVER (PARTITION BY doc_id ORDER BY i) AS b1,
-             lead(ascii(substring(lower(text), CAST(i AS BIGINT), 1)), 2)
-               OVER (PARTITION BY doc_id ORDER BY i) AS b2
-      FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+      SELECT * FROM (
+        SELECT doc_id,
+               unnest(bs) AS b0,
+               unnest(bs[2:] || [CAST(NULL AS BIGINT)]) AS b1,
+               unnest(bs[3:] || [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)]) AS b2
+        FROM bl
+      ) WHERE b0 IS NOT NULL
     )
 """
 
@@ -662,7 +671,15 @@ def _pipeline_full_oracle() -> str:
         step += 1
     scrub_sql = ",\n    ".join(scrub_ctes)
 
-    byte_expr = "CAST(('0x' || substring(hx, CAST(2 * i - 1 AS BIGINT), 2)) AS BIGINT)"
+    # one vectorized regexp per doc → byte list; the zipped-unnest +
+    # shifted-slice form below replaces the correlated UNNEST(range())
+    # + per-position substring + lead() window, which DuckDB planned as
+    # a delim join (95 s of operator time = 80% of the whole 106-query
+    # sweep's oracle wall; see tools/timings.json round 3).
+    byte_expr = (
+        "list_transform(regexp_extract_all(hex(encode(lower(txt))), '..'),"
+        " x -> CAST(('0x' || x) AS BIGINT))"
+    )
     return f"""
     WITH pages(doc_id, txt) AS MATERIALIZED (VALUES {page_vals}),
     sb AS MATERIALIZED (SELECT doc_id, txt, {W} AS words, {L} AS lns FROM pages),
@@ -678,8 +695,10 @@ def _pipeline_full_oracle() -> str:
       GROUP BY doc_id
     ),
     grams AS (
-      SELECT doc_id, words[i] || ' ' || words[i+1] AS g
-      FROM sb, UNNEST(range(1, len(words))) AS r(i)
+      SELECT doc_id, w1 || ' ' || w2 AS g FROM (
+        SELECT doc_id, unnest(words[:-1]) AS w1, unnest(words[2:]) AS w2
+        FROM sb
+      ) WHERE w2 IS NOT NULL
     ),
     freq AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
     topg AS MATERIALIZED (SELECT doc_id, max(c) AS t2 FROM freq GROUP BY doc_id),
@@ -725,20 +744,16 @@ def _pipeline_full_oracle() -> str:
     ),
     surv AS (SELECT doc_id, txt FROM struct WHERE sreason IS NULL),
     lb AS (
-      SELECT doc_id, hex(encode(lower(txt))) AS hx,
-             octet_length(encode(lower(txt))) AS n
-      FROM surv
-    ),
-    bb0 AS MATERIALIZED (
-      SELECT doc_id, i, {byte_expr} AS b0
-      FROM lb, UNNEST(range(1, n + 1)) AS r(i)
+      SELECT doc_id, {byte_expr} AS bs FROM surv
     ),
     bb AS MATERIALIZED (
-      SELECT doc_id, i, b0,
-             lead(b0, 1) OVER w AS b1,
-             lead(b0, 2) OVER w AS b2
-      FROM bb0
-      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      SELECT * FROM (
+        SELECT doc_id,
+               unnest(bs) AS b0,
+               unnest(bs[2:] || [CAST(NULL AS BIGINT)]) AS b1,
+               unnest(bs[3:] || [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)]) AS b2
+        FROM lb
+      ) WHERE b0 IS NOT NULL
     ),
     g AS (
       SELECT doc_id, b0 % {N_BUCKETS} AS h FROM bb
