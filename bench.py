@@ -216,8 +216,10 @@ def main() -> None:
     # 2.6x swings on identical back-to-back runs, and a pure-CPU matmul
     # control swings 2x — BENCH/BASELINE.md "measurement variance").
     # The pipeline is the headline metric, so it gets 5 samples to ride
-    # through a burst; the cheap queries keep 3.
-    repeats = {"pipeline": 5}
+    # through a burst; dedup_minhash and sim_topk swung 1.3-1.5x between
+    # rounds r01->r02 (VERDICT r2 "noisy bench rows"), so they also get 5;
+    # the cheap queries keep 3.
+    repeats = {"pipeline": 5, "dedup_minhash": 5, "sim_topk": 5}
     times: dict[str, float] = {}
     for name in selected:
         best = float("inf")
@@ -235,6 +237,11 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cores": args.cores,
+        "methodology": (
+            "best-of-N wall per query (pipeline/dedup_minhash/sim_topk N=5, "
+            "others N=3) after JVM+python-worker warmup; sandbox VM swings "
+            "2-2.6x between identical runs, so only >2x deltas are signal"
+        ),
     }
     if "pipeline" in times and n_pages:
         out["pipeline_docs"] = n_pages
