@@ -101,8 +101,23 @@ def verify_pairs_jaccard(
     scale path: join each side to its collected shingle set, then
     intersect/union via array built-ins. Work is proportional to the
     candidate count, never to all pairs sharing a shingle (which is what
-    LSH exists to avoid). Returns (a, b, jaccard) with jaccard >= threshold."""
-    sets_ = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("shset"))
+    LSH exists to avoid). Returns (a, b, jaccard) with jaccard >= threshold.
+
+    The shingle table is semi-joined to the candidate doc ids BEFORE the
+    collect_set: without it the verify stage shuffles every doc's full
+    shingle list even though only candidate docs are ever looked at —
+    measured 18s vs 3s at 21M shingle rows / 3.3k candidates, and at
+    crawl scale the difference is the whole corpus vs the near-dup slice."""
+    ids = (
+        cands.select(F.col("a").alias(id_col))
+        .unionByName(cands.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sets_ = (
+        shingles.join(ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shset"))
+    )
     sa = sets_.select(F.col(id_col).alias("a"), F.col("shset").alias("sh_a"))
     sb = sets_.select(F.col(id_col).alias("b"), F.col("shset").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
