@@ -471,3 +471,129 @@ def txt_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
             (F.coalesce("ent", F.lit(0.0)) < _ENTROPY_GATE).alias("low_entropy"),
         )
     )
+
+
+# --------------------------------------------------- boilerplate scrub
+
+# word n-gram size and the corpus-frequency gate above which a gram is
+# "boilerplate" (CCNet/RefinedWeb remove lines/spans that recur across
+# many pages: nav bars, cookie banners, footers). 5-grams in >= 3
+# distinct docs is the smallest setting that fires on the test corpus
+# while keeping the hot set tiny — which is the point at crawl scale:
+# the hot set is the boilerplate vocabulary, and it is SMALL.
+_BP_GRAM = 5
+_BP_DF = 3
+
+
+@register(
+    "ql_boilerplate_scrub",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(r.i - 1 AS INT) AS pos,
+             array_to_string(toks[r.i:r.i + {_BP_GRAM - 1}], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - {_BP_GRAM - 2})) r(i)
+      WHERE len(toks) >= {_BP_GRAM}
+    ),
+    hot AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= {_BP_DF}
+    ),
+    hits AS (
+      SELECT DISTINCT g.doc_id, g.pos + u.x AS cov
+      FROM g JOIN hot USING (gram),
+           unnest([{", ".join(str(i) for i in range(_BP_GRAM))}]) u(x)
+    ),
+    cov AS (SELECT doc_id, list(cov) AS covered FROM hits GROUP BY doc_id),
+    o AS (
+      SELECT t.doc_id, t.toks,
+             list_filter(t.toks,
+                         (x, i) -> NOT list_contains(coalesce(covered, []), i - 1)
+             ) AS kept
+      FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(toks) - len(kept) AS INT) AS n_removed,
+           -- array_to_string lowers to string_agg: NULL on an empty
+           -- list, where Spark's array_join gives '' — pin to ''
+           coalesce(array_to_string(kept, ' '), '') AS clean_text
+    FROM o
+    """,
+)
+def ql_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: a word 5-gram
+    that occurs in >= 3 distinct docs is template sludge (nav
+    bars, cookie banners, SEO footers); every token covered by any hot
+    gram is dropped and the doc's text is reassembled from the
+    survivors in original order. Output per doc: token count, removed
+    count, cleaned text.
+
+    Scale shape — the corpus itself never shuffles: (1) gram explode ->
+    per-gram distinct-doc count with map-side partial agg, the one
+    corpus-sized shuffle (uniform gram keys); (2) the hot set (grams
+    above the df gate) is the boilerplate *vocabulary* — tiny by
+    construction, broadcast to the gram stream, so finding covered
+    positions is a broadcast semi-join with no exchange; (3) only the
+    HIT slice (doc_id, position) — the boilerplate spans, a few percent
+    of tokens on real crawls — shuffles into per-doc covered lists,
+    then joins back to docs on doc_id. At 10^12 docs step (1) is a
+    plain uniform-key agg and steps (2)-(3) move only boilerplate-sized
+    data. Reassembly is a JVM higher-order filter on (token, index) —
+    no Python anywhere."""
+    d = load(spark, sf, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    grams = (
+        d.filter(n >= _BP_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - _BP_GRAM),
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.array_join(
+                            F.slice(toks, p + 1, _BP_GRAM), " "
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_DF)
+        .select("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(hot), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_BP_GRAM - 1))
+            ).alias("cov"),
+        )
+        .distinct()
+    )
+    cov = hits.groupBy("doc_id").agg(F.collect_set("cov").alias("covered"))
+    covered = F.coalesce("covered", F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(covered, i)
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            (F.size("toks") - F.size(kept)).alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )

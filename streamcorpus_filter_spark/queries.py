@@ -215,7 +215,7 @@ RUN_ORDER = [
     # -- tier 2: never driver-sampled (round-2 additions, UDF surface,
     #    streaming) — cheap JVM ones first within the tier
     "txt_salient_terms", "ql_source_mix", "txt_pack_bins",
-    "txt_char_entropy", "curation_pipeline",
+    "txt_char_entropy", "curation_pipeline", "ql_boilerplate_scrub",
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
     "scan_csv", "scan_json", "scan_iceberg_incremental",

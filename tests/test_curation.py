@@ -210,3 +210,57 @@ def test_char_entropy_matches_python(spark, reg, docs):
         got = rows[doc_id]
         assert abs(got.char_entropy - round(want, 4)) < 1e-9, doc_id
         assert got.low_entropy == (want < 2.0)
+
+
+def test_boilerplate_scrub_matches_python_recount(spark, reg, docs):
+    from streamcorpus_filter_spark.inventory.curation import _BP_DF, _BP_GRAM
+
+    # independent recount: hot grams by distinct-doc df, covered spans,
+    # per-doc reassembly — plain dicts, no SQL shared with either engine
+    gram_docs: dict = {}
+    doc_grams: dict = {}
+    for doc_id, text, _l, _n in docs:
+        toks = _tokens(text)
+        grams = [
+            (p, " ".join(toks[p : p + _BP_GRAM]))
+            for p in range(len(toks) - _BP_GRAM + 1)
+        ]
+        doc_grams[doc_id] = (toks, grams)
+        for _, g in grams:
+            gram_docs.setdefault(g, set()).add(doc_id)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= _BP_DF}
+    assert hot, "fixture must contain corpus-hot grams for this test to bite"
+
+    rows = {
+        r.doc_id: r
+        for r in reg.QUERIES["ql_boilerplate_scrub"](spark, SF_SMALL).collect()
+    }
+    assert len(rows) == len(docs)
+    scrubbed_docs = 0
+    for doc_id, (toks, grams) in doc_grams.items():
+        covered = set()
+        for p, g in grams:
+            if g in hot:
+                covered.update(range(p, p + _BP_GRAM))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        got = rows[doc_id]
+        assert got.n_toks == len(toks), doc_id
+        assert got.n_removed == len(toks) - len(kept), doc_id
+        assert got.clean_text == " ".join(kept), doc_id
+        if covered:
+            scrubbed_docs += 1
+    assert scrubbed_docs > 0  # the df gate actually fires on the fixture
+
+
+def test_boilerplate_scrub_hot_set_is_broadcast(spark, reg):
+    """The hot-gram join must be broadcast (the boilerplate vocabulary is
+    tiny by construction); only the gram-df agg and the hit slice may
+    shuffle."""
+    plan = (
+        reg.QUERIES["ql_boilerplate_scrub"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

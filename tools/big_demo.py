@@ -213,9 +213,7 @@ def run_demo(n_pages: int, cores: int) -> dict:
     all_docs = docs.unionByName(twins)
     before = stage_totals()
     t0 = time.perf_counter()
-    sh = word_shingles(all_docs, "doc_id", "text", k=3).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
-    )
+    sh = word_shingles(all_docs, "doc_id", "text", k=3, hashed=True)
     # the shingle table feeds BOTH the signature chain and the verify
     # stage; persist it so tokenize+shingle+hash runs once (the local
     # analog of materializing the shingle table to scratch storage,
