@@ -1,0 +1,616 @@
+"""Round-3 web-curation operators: URL canonicalization, C4-style
+line-level dedup, near-dup retention (keep/drop), snapshot-incremental
+dedup, broadcast Bloom-filter probe, and SemDeDup-style embedding dedup.
+
+These are the decisions a crawl-curation job actually emits — not just
+pair lists but per-document keep/drop labels, canonical ids, and cleaned
+text — each expressed as one declarative Spark plan and each recomputed
+end-to-end by a DuckDB oracle (same hash families, same thresholds, same
+planted fixtures).
+
+Fixture planting (no natural dups/URLs in the synthetic corpus):
+  * text twins  — twins.py: every 10th doc gets a 40-word truncated twin
+  * exact twins — dedup_incremental builds a "new snapshot" batch of
+    verbatim copies (+2M ids) and novel variants (+3M ids)
+  * URLs        — derived deterministically from (source, doc_id) with
+    uppercase scheme/host, a www prefix, and utm_*/ref tracking params,
+    so canonicalization has real work to do
+  * embedding twins — every 10th vector re-scaled by 1.25 (+1M ids):
+    cosine 1.0 with its original, identical hyperplane sign buckets
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.dedup import cosine_expr, jaccard_pairs, word_shingles
+from ..queries import cached_broadcast, load, register
+from .twins import MAX_SHINGLE_DF, TWINNED_SQL, twinned
+
+# ---------------------------------------------------------------- URLs
+
+# tracking-param prefixes stripped by canonicalization (the standard
+# list: UTM campaign tags + bare referral tags)
+_TRACK = ("utm_", "ref")
+
+_URL_SQL = (
+    "'HTTPS://WWW.' || source || '.Example.COM/p/' || doc_id "
+    "|| '?utm_source=feed&id=' || (doc_id % 7) "
+    "|| '&utm_campaign=c' || (doc_id % 3) || '&ref=rss'"
+)
+
+
+@register(
+    "ql_url_canonicalize",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    p AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)) AS rawhost,
+             regexp_extract(url, '^[A-Za-z]+://[^/?]+(/[^?]*)', 1) AS path,
+             string_split(regexp_extract(url, '\\?(.*)$', 1), '&') AS params
+      FROM u
+    ),
+    c AS (
+      SELECT doc_id, url,
+             CASE WHEN starts_with(rawhost, 'www.')
+                  THEN rawhost[5:] ELSE rawhost END AS host,
+             path,
+             list_sort(list_filter(params,
+               x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')))) AS kept,
+             CAST(len(list_filter(params,
+               x -> starts_with(x, 'utm_') OR starts_with(x, 'ref='))) AS INT)
+               AS n_tracking
+      FROM p
+    )
+    SELECT doc_id, host, n_tracking,
+           'https://' || host || path ||
+           CASE WHEN len(kept) > 0
+                THEN '?' || array_to_string(kept, '&') ELSE '' END
+             AS canonical_url
+    FROM c
+    """,
+)
+def ql_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization for crawl dedup keys: lowercase the host,
+    strip a leading ``www.``, drop utm_*/ref tracking params, sort the
+    survivors — the normalization every URL-level dedup and host-level
+    grouping step needs before its keys mean anything. The fixture has
+    no URL column, so URLs are derived deterministically from
+    (source, doc_id) with the mess baked in (uppercase scheme + host,
+    www prefix, three tracking params).
+
+    Scale shape: pure per-row string work inside whole-stage codegen —
+    ``parse_url`` (Spark's built-in URL parser, JVM-side) plus
+    filter/sort over a split query string; no shuffle, no Python, and
+    the canonical key feeds straight into a hash-partitioned dedup."""
+    d = load(spark, sf, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_campaign=c"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("&ref=rss"),
+        ),
+    )
+    rawhost = F.lower(F.parse_url("url", F.lit("HOST")))
+    host = F.when(
+        rawhost.startswith("www."), F.substring(rawhost, 5, 1 << 20)
+    ).otherwise(rawhost)
+    params = F.split(F.parse_url("url", F.lit("QUERY")), "&")
+    is_track = lambda x: x.startswith("utm_") | x.startswith("ref=")  # noqa: E731
+    kept = F.array_sort(F.filter(params, lambda x: ~is_track(x)))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.size(F.filter(params, is_track)).alias("n_tracking"),
+        F.concat(
+            F.lit("https://"), host, F.parse_url("url", F.lit("PATH")),
+            F.when(
+                F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+            ).otherwise(""),
+        ).alias("canonical_url"),
+    )
+
+
+# ------------------------------------------------------ line-level dedup
+
+# the synthetic corpus has no newlines, so a "line" is a fixed window of
+# 12 whitespace tokens (last line may be shorter) — the C4 rule itself
+# (corpus-wide: keep only the FIRST occurrence of every distinct line)
+# is what's under test, not the line splitter
+_LINE_W = 12
+
+_RAW_WS = "[ \t\n\r\f\x0B]+"
+
+
+@register(
+    "ql_line_dedup",
+    f"""
+    WITH t AS ({TWINNED_SQL}),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '{_RAW_WS}'), x -> x <> '') AS toks
+      FROM t
+    ),
+    lines AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS line_no,
+             array_to_string(toks[{_LINE_W}*r.i + 1 : {_LINE_W}*(r.i + 1)], ' ') AS line
+      FROM w, unnest(range(0, CAST(ceil(len(toks) / {_LINE_W}.0) AS BIGINT))) r(i)
+    ),
+    ranked AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    ),
+    kept AS (
+      SELECT doc_id,
+             count(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY line_no) AS clean_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    n AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT w.doc_id,
+           coalesce(n.n_lines, 0) AS n_lines,
+           coalesce(kept.n_kept, 0) AS n_kept,
+           coalesce(kept.clean_text, '') AS clean_text
+    FROM w
+    LEFT JOIN n ON n.doc_id = w.doc_id
+    LEFT JOIN kept ON kept.doc_id = w.doc_id
+    """,
+)
+def ql_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-wide line dedup: across ALL documents, every
+    distinct line survives only at its first occurrence (smallest
+    (doc_id, line_no)); later copies are cut and each doc's text is
+    reassembled from its surviving lines in order. Runs on the twinned
+    corpus (twins repeat their original's first 40 words = 3+ full
+    lines) so the rule demonstrably fires.
+
+    Scale shape: ONE corpus-sized shuffle keyed by the line itself
+    (uniform after hashing — at 10^12 docs the key becomes xxhash64 of
+    the line, 8 bytes, same semantics), a window min instead of a
+    groupBy + join-back (one exchange, not three), then a per-doc
+    reassembly shuffle carrying only surviving lines. This is exactly
+    how C4's three-sentence-span rule is run at crawl scale."""
+    t = twinned(spark, sf, load)
+    toks = F.filter(F.split("text", "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != "")
+    base = t.select("doc_id", toks.alias("toks"))
+    nline = F.ceil(F.size("toks") / F.lit(float(_LINE_W))).cast("bigint")
+    lines = (
+        base.filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("bigint"), nline - 1),
+                    lambda i: F.struct(
+                        i.alias("line_no"),
+                        F.array_join(
+                            F.slice("toks", (i * _LINE_W + 1).cast("int"), _LINE_W),
+                            " ",
+                        ).alias("line"),
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select("doc_id", "l.line_no", "l.line")
+    )
+    rn = F.row_number().over(Window.partitionBy("line").orderBy("doc_id", "line_no"))
+    kept = (
+        lines.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    n = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        base.select("doc_id")
+        .join(n, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# --------------------------------------------------- near-dup retention
+
+_KF_THRESHOLD = 0.5
+
+_KF_PAIRS_SQL = f"""
+    WITH t AS ({TWINNED_SQL}),
+    w AS (SELECT doc_id, list_filter(string_split_regex(text, '{_RAW_WS}'), x -> x <> '') AS words FROM t),
+    sh0 AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    pairs AS (
+      SELECT a, b
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_KF_THRESHOLD}
+    )
+"""
+
+
+@register(
+    "dedup_keep_first",
+    f"""
+    {_KF_PAIRS_SQL}
+    SELECT t.doc_id,
+           d.mn IS NULL AS keep,
+           d.mn AS dup_of
+    FROM (SELECT doc_id FROM ({TWINNED_SQL})) t
+    LEFT JOIN (SELECT b, min(a) AS mn FROM pairs GROUP BY b) d
+      ON d.b = t.doc_id
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """The retention DECISION a dedup pipeline actually emits: per doc,
+    keep iff no near-duplicate with a smaller id exists (exact Jaccard
+    >= 0.5 over word 3-shingles on the twinned corpus); dropped docs
+    carry ``dup_of`` = their smallest near-dup ancestor. Pair
+    generation is the df-capped bucketed self-join (never all-pairs);
+    the keep/drop label is one aggregation + one left join on top.
+    Full transitive retention (keep one per component) is the
+    composition with dedup_cluster_components — this operator is the
+    cheap, single-pass policy production crawls default to."""
+    t = twinned(spark, sf, load)
+    sh = word_shingles(t, "doc_id", "text", k=3)
+    pairs = jaccard_pairs(sh, "doc_id", threshold=_KF_THRESHOLD, max_df=MAX_SHINGLE_DF)
+    anc = pairs.groupBy("b").agg(F.min("a").alias("dup_of"))
+    return (
+        t.select("doc_id")
+        .join(anc, t["doc_id"] == anc["b"], "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+# ----------------------------------------------- snapshot-incremental dedup
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents),
+    seen_min AS (
+      SELECT md5(text) AS h, min(doc_id) AS src_doc
+      FROM documents GROUP BY md5(text)
+    ),
+    batch AS (
+      SELECT doc_id + 2000000 AS new_id, text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS new_id, text || ' novelty-' || doc_id AS text
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT b.new_id,
+           s.src_doc IS NOT NULL AS is_dup,
+           s.src_doc
+    FROM batch b LEFT JOIN seen_min s ON s.h = md5(b.text)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-over-snapshot dedup: a new crawl batch is checked
+    against the already-ingested corpus by content hash; exact dups are
+    flagged with their source doc. The new batch is planted from the
+    fixture (verbatim copies of every doc_id%3==0 doc + novel variants
+    of every %3==1 doc) so both outcomes occur.
+
+    Scale shape: the seen side reduces to (hash, min_doc) — one
+    map-side-combinable agg — and the probe is a hash-partitioned
+    equi-join on uniform 128-bit keys; with a snapshot catalog this is
+    an incremental-scan input (scan_iceberg_incremental) so only NEW
+    files are ever hashed. The standard CC-dump-over-dump pattern."""
+    d = load(spark, sf, "documents")
+    seen = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("src_doc"))
+    batch = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("new_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 3_000_000).alias("new_id"),
+                F.concat("text", F.lit(" novelty-"), F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    return (
+        batch.join(seen, F.md5(batch["text"]) == seen["h"], "left")
+        .select(
+            "new_id",
+            F.col("src_doc").isNotNull().alias("is_dup"),
+            "src_doc",
+        )
+    )
+
+
+# ------------------------------------------------------- Bloom-filter probe
+
+# m = 8192 bits, k = 3 universal hashes over x = 48-bit md5 prefix
+# reduced mod p = 2^31 - 1 (the repo's engine-portable hash family:
+# Spark conv(hex) == DuckDB CAST('0x…')); multipliers small enough that
+# a*x + b stays far below 2^63
+_BLOOM_M = 8192
+_BLOOM_P = 2147483647
+_BLOOM_AB = ((387473, 11), (557011, 227), (812017, 9419))
+
+_BLOOM_X_DUCK = f"CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT) % {_BLOOM_P}"
+_BLOOM_POS_DUCK = ", ".join(
+    f"(({a} * x + {b}) % {_BLOOM_P}) % {_BLOOM_M} AS p{i}"
+    for i, (a, b) in enumerate(_BLOOM_AB)
+)
+
+
+@register(
+    "dedup_bloom",
+    f"""
+    WITH x AS (SELECT doc_id, {_BLOOM_X_DUCK} AS x FROM documents),
+    pos AS (SELECT doc_id, {_BLOOM_POS_DUCK} FROM x),
+    bits AS (
+      SELECT DISTINCT u.p FROM pos, unnest([p0, p1, p2]) u(p)
+      WHERE doc_id % 2 = 0
+    ),
+    probe AS (
+      SELECT pos.doc_id,
+             (p0 IN (SELECT p FROM bits))
+             AND (p1 IN (SELECT p FROM bits))
+             AND (p2 IN (SELECT p FROM bits)) AS maybe_seen
+      FROM pos
+    ),
+    seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0)
+    SELECT d.doc_id, probe.maybe_seen,
+           md5(d.text) IN (SELECT h FROM seen) AS is_seen
+    FROM documents d JOIN probe ON probe.doc_id = d.doc_id
+    """,
+)
+def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast Bloom-filter dedup probe: the even-id half of the
+    corpus is the "seen" set; its content hashes set k=3 positions in
+    an m=8192-bit filter, and EVERY doc is probed (all k positions
+    present => maybe_seen). ``is_seen`` is the exact answer, so the
+    output exhibits the filter's one-sided error: no false negatives,
+    measurable false positives — both engines reproduce the identical
+    bit pattern because the hash family is the repo's portable
+    md5-prefix universal family.
+
+    Scale shape: the filter is ~1KB no matter how big the seen corpus
+    is — build = one distinct-positions agg, probe = broadcast semi-
+    join against the bit set; nothing corpus-sized ever shuffles. At
+    10^12 docs this is THE pre-filter in front of exact dedup (only
+    maybe_seen docs proceed to the hash equi-join)."""
+    d = load(spark, sf, "documents")
+    x = (
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
+        % _BLOOM_P
+    )
+    pos = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        *[
+            (((F.lit(a) * x + b) % _BLOOM_P) % _BLOOM_M).alias(f"p{i}")
+            for i, (a, b) in enumerate(_BLOOM_AB)
+        ],
+    )
+    bits = (
+        pos.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.array("p0", "p1", "p2")).alias("p"))
+        .distinct()
+    )
+    # probe: a position NOT in the bit set disqualifies — left-anti on
+    # the (tiny, broadcast) bit set finds misses, docs with zero misses
+    # are maybe_seen
+    probe_pos = pos.select(
+        "doc_id", F.explode(F.array("p0", "p1", "p2")).alias("p")
+    )
+    misses = (
+        probe_pos.join(F.broadcast(bits), "p", "left_anti")
+        .select("doc_id")
+        .distinct()
+        .withColumn("miss", F.lit(True))
+    )
+    seen_h = (
+        pos.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+        .withColumnRenamed("h", "sh")
+    )
+    return (
+        pos.select("doc_id", "h")
+        .join(misses, "doc_id", "left")
+        .join(F.broadcast(seen_h), F.col("h") == F.col("sh"), "left")
+        .select(
+            "doc_id",
+            F.col("miss").isNull().alias("maybe_seen"),
+            F.col("sh").isNotNull().alias("is_seen"),
+        )
+    )
+
+
+# --------------------------------------------- SemDeDup (embedding dedup)
+
+_SEM_ROT = 8   # rotations (bucket tables)
+_SEM_BITS = 6  # sign bits per rotation
+_SEM_COS = 0.95
+
+
+def _sem_planes() -> "np.ndarray":
+    # independent draw from the ANN planes (seed 11): dedup must not
+    # silently share bucket structure with sim_lsh_bucketed's fixtures
+    return np.random.RandomState(11).randn(_SEM_ROT, _SEM_BITS, 64)
+
+
+def _sql_list(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _sem_oracle() -> str:
+    P = _sem_planes()
+    rows = ", ".join(
+        f"({r}, {b}, {_sql_list(P[r, b])})"
+        for r in range(_SEM_ROT)
+        for b in range(_SEM_BITS)
+    )
+    return f"""
+    WITH planes(rot, bit, pv) AS (VALUES {rows}),
+    tw AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x * 1.25 AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM tw
+    ),
+    dots AS (
+      SELECT e.vec_id, p.rot, p.bit, list_inner_product(e.emb, p.pv) AS d
+      FROM e CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, rot,
+             sum(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, rot
+    ),
+    cands AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM buckets x JOIN buckets y
+        ON x.rot = y.rot AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    dup AS (
+      SELECT c.b, min(c.a) AS canon
+      FROM cands c
+      JOIN tw ta ON ta.vec_id = c.a
+      JOIN tw tb ON tb.vec_id = c.b
+      WHERE list_inner_product(ta.embedding, ta.embedding) > 0
+        AND list_inner_product(tb.embedding, tb.embedding) > 0
+        AND round(list_cosine_similarity(ta.embedding, tb.embedding), 6)
+              >= {_SEM_COS}
+      GROUP BY c.b
+    )
+    SELECT tw.vec_id,
+           dup.canon IS NULL AS keep,
+           coalesce(dup.canon, tw.vec_id) AS canonical_id
+    FROM tw LEFT JOIN dup ON dup.b = tw.vec_id
+    """
+
+
+@register("emb_semantic_dedup", _sem_oracle())
+def emb_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style embedding near-dup removal: vectors land in
+    6-bit hyperplane sign buckets over 8 rotations; bucket collisions
+    are the ONLY candidate pairs; candidates with exact cosine >= 0.95
+    mark the larger id as a duplicate of the smallest such neighbor.
+    Planted twins (every 10th vector re-scaled 1.25x, +1M ids) collide
+    with their originals in every rotation and score cosine 1.0, so
+    the drop path demonstrably fires.
+
+    Scale shape: bucketize = one Arrow-vectorized batch pass (48 dot
+    products per vector, no per-row Python); candidates come from
+    equi-joins on (rot, bucket) — never all-pairs — and only
+    candidates pay the exact-cosine re-rank; retention is a min-agg +
+    left join. A mega-bucket (e.g. the zero-ish region of a collapsed
+    encoder) is the skew risk: the production fix is bucket-size
+    capping or one more sign bit, both one-line changes here."""
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    tw = e.unionByName(
+        e.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.25)).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    bc = cached_broadcast(spark, "semdedup_planes", _sem_planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc.value
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            rows = {"vec_id": pdf["vec_id"]}
+            for r in range(P.shape[0]):
+                signs = (V @ P[r].T) > 0
+                rows[f"b{r}"] = (signs @ (1 << np.arange(_SEM_BITS))).astype("int64")
+            yield pd.DataFrame(rows)
+
+    schema = "vec_id bigint, " + ", ".join(f"b{r} bigint" for r in range(_SEM_ROT))
+    buckets = (
+        tw.mapInPandas(bucketize, schema=schema)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(r).alias("rot"), F.col(f"b{r}").alias("bucket"))
+                    for r in range(_SEM_ROT)
+                ])
+            ).alias("rb"),
+        )
+        .select("vec_id", "rb.rot", "rb.bucket")
+    )
+    left = buckets.select(
+        "rot", "bucket", F.col("vec_id").alias("a")
+    )
+    right = buckets.select(
+        "rot", "bucket", F.col("vec_id").alias("b")
+    )
+    cands = (
+        left.join(right, ["rot", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ea = tw.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = tw.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    dup = (
+        cands.join(ea, "a")
+        .join(eb, "b")
+        .filter(
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= _SEM_COS
+        )
+        .groupBy("b")
+        .agg(F.min("a").alias("canon"))
+    )
+    return (
+        tw.select("vec_id")
+        .join(dup, tw["vec_id"] == dup["b"], "left")
+        .select(
+            "vec_id",
+            F.col("canon").isNull().alias("keep"),
+            F.coalesce("canon", "vec_id").alias("canonical_id"),
+        )
+    )

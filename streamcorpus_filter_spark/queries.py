@@ -189,6 +189,7 @@ from .inventory import (  # noqa: E402,F401
     relational,
     streaming,
     udf_surface,
+    webcur,
 )
 
 # --------------------------------------------------------------------------
@@ -216,6 +217,8 @@ RUN_ORDER = [
     #    streaming) — cheap JVM ones first within the tier
     "txt_salient_terms", "ql_source_mix", "txt_pack_bins",
     "txt_char_entropy", "curation_pipeline", "ql_boilerplate_scrub",
+    "ql_url_canonicalize", "ql_line_dedup", "dedup_keep_first",
+    "dedup_incremental", "dedup_bloom", "emb_semantic_dedup",
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
     "scan_csv", "scan_json", "scan_iceberg_incremental",

@@ -1,0 +1,248 @@
+"""Round-3 web-curation operator tests: independent Python recounts
+(plain dicts/sets — no SQL shared with either engine) plus plan-shape
+guards for the broadcast/bucketed designs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from streamcorpus_filter_spark import queries as q
+
+    return q
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return (
+        duckdb.connect()
+        .execute(f"SELECT doc_id, text, source FROM '{SF_SMALL}/documents.parquet'")
+        .fetchall()
+    )
+
+
+def _raw_tokens(text: str) -> list[str]:
+    out, cur = [], []
+    for ch in text:
+        if ch in " \t\n\r\f\x0b":
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _twinned(docs):
+    rows = [(d, t) for d, t, _s in docs]
+    rows += [
+        (d + 1_000_000, " ".join(_raw_tokens(t)[:40]))
+        for d, t, _s in docs
+        if d % 10 == 0
+    ]
+    return rows
+
+
+# ------------------------------------------------------------- URL canon
+
+
+def test_url_canonicalize_recount(spark, reg, docs):
+    rows = {
+        r.doc_id: r
+        for r in reg.QUERIES["ql_url_canonicalize"](spark, SF_SMALL).collect()
+    }
+    assert len(rows) == len(docs)
+    for doc_id, _t, source in docs:
+        got = rows[doc_id]
+        assert got.host == f"{source}.example.com", doc_id
+        assert got.n_tracking == 3, doc_id
+        assert got.canonical_url == (
+            f"https://{source}.example.com/p/{doc_id}?id={doc_id % 7}"
+        ), doc_id
+
+
+# ------------------------------------------------------------ line dedup
+
+
+def test_line_dedup_recount(spark, reg, docs):
+    from streamcorpus_filter_spark.inventory.webcur import _LINE_W
+
+    corpus = _twinned(docs)
+    # first-occurrence winners ordered by (doc_id, line_no)
+    lines = []
+    for doc_id, text in corpus:
+        toks = _raw_tokens(text)
+        for i in range(0, (len(toks) + _LINE_W - 1) // _LINE_W):
+            lines.append((doc_id, i, " ".join(toks[i * _LINE_W : (i + 1) * _LINE_W])))
+    first: dict = {}
+    for doc_id, i, line in sorted(lines):
+        first.setdefault(line, (doc_id, i))
+    want: dict = {}
+    for doc_id, text in corpus:
+        toks = _raw_tokens(text)
+        mine = [
+            (i, " ".join(toks[i * _LINE_W : (i + 1) * _LINE_W]))
+            for i in range(0, (len(toks) + _LINE_W - 1) // _LINE_W)
+        ]
+        kept = [ln for i, ln in mine if first[ln] == (doc_id, i)]
+        want[doc_id] = (len(mine), len(kept), " ".join(kept))
+
+    rows = {
+        r.doc_id: r for r in reg.QUERIES["ql_line_dedup"](spark, SF_SMALL).collect()
+    }
+    assert len(rows) == len(corpus)
+    twins_cut = 0
+    for doc_id, (n_lines, n_kept, clean) in want.items():
+        got = rows[doc_id]
+        assert (got.n_lines, got.n_kept, got.clean_text) == (
+            n_lines,
+            n_kept,
+            clean,
+        ), doc_id
+        if doc_id >= 1_000_000 and n_kept < n_lines:
+            twins_cut += 1
+    assert twins_cut > 0  # the C4 rule demonstrably fires on the twins
+
+
+# ------------------------------------------------------------ keep-first
+
+
+def test_keep_first_drops_exactly_the_near_dup_tails(spark, reg, docs):
+    rows = {
+        r.doc_id: r
+        for r in reg.QUERIES["dedup_keep_first"](spark, SF_SMALL).collect()
+    }
+    # every planted twin is a >=0.5-Jaccard near-dup of its original
+    # ONLY if the truncation retains enough shared shingles — rather
+    # than re-deriving Jaccard here (the dedup tests already do), check
+    # the retention invariants: dropped docs carry a smaller ancestor,
+    # kept docs carry none, originals with id < their twin are kept
+    dropped = [r for r in rows.values() if not r.keep]
+    assert dropped, "fixture must produce at least one dropped near-dup"
+    for r in rows.values():
+        if r.keep:
+            assert r.dup_of is None
+        else:
+            assert r.dup_of is not None and r.dup_of < r.doc_id
+    # keep-first can never drop the global minimum id
+    assert rows[min(rows)].keep
+
+
+# ----------------------------------------------------------- incremental
+
+
+def test_incremental_flags_exact_copies_only(spark, reg, docs):
+    text_by_id = {d: t for d, t, _s in docs}
+    seen_min: dict = {}
+    for d, t, _s in sorted(docs):
+        seen_min.setdefault(hashlib.md5(t.encode()).hexdigest(), d)
+    rows = {
+        r.new_id: r
+        for r in reg.QUERIES["dedup_incremental"](spark, SF_SMALL).collect()
+    }
+    n_copy = sum(1 for d in text_by_id if d % 3 == 0)
+    n_novel = sum(1 for d in text_by_id if d % 3 == 1)
+    assert len(rows) == n_copy + n_novel
+    for d, t in text_by_id.items():
+        if d % 3 == 0:
+            got = rows[d + 2_000_000]
+            assert got.is_dup and got.src_doc == seen_min[
+                hashlib.md5(t.encode()).hexdigest()
+            ], d
+        elif d % 3 == 1:
+            novel = f"{t} novelty-{d}"
+            h = hashlib.md5(novel.encode()).hexdigest()
+            got = rows[d + 3_000_000]
+            assert got.is_dup == (h in seen_min), d
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_exact_bitset(spark, reg, docs):
+    from streamcorpus_filter_spark.inventory.webcur import (
+        _BLOOM_AB,
+        _BLOOM_M,
+        _BLOOM_P,
+    )
+
+    def positions(text: str):
+        x = int(hashlib.md5(text.encode()).hexdigest()[:12], 16) % _BLOOM_P
+        return [((a * x + b) % _BLOOM_P) % _BLOOM_M for a, b in _BLOOM_AB]
+
+    bits = set()
+    seen_hashes = set()
+    for d, t, _s in docs:
+        if d % 2 == 0:
+            bits.update(positions(t))
+            seen_hashes.add(hashlib.md5(t.encode()).hexdigest())
+
+    rows = {
+        r.doc_id: r for r in reg.QUERIES["dedup_bloom"](spark, SF_SMALL).collect()
+    }
+    assert len(rows) == len(docs)
+    for d, t, _s in docs:
+        got = rows[d]
+        want_maybe = all(p in bits for p in positions(t))
+        want_seen = hashlib.md5(t.encode()).hexdigest() in seen_hashes
+        assert got.maybe_seen == want_maybe, d
+        assert got.is_seen == want_seen, d
+        # one-sided error: a bloom filter never misses a true member
+        if want_seen:
+            assert got.maybe_seen, d
+
+
+def test_bloom_probe_is_broadcast(spark, reg):
+    plan = (
+        reg.QUERIES["dedup_bloom"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_drops_scaled_twins(spark, reg):
+    emb = (
+        duckdb.connect()
+        .execute(f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet'")
+        .fetchall()
+    )
+    rows = {
+        r.vec_id: r
+        for r in reg.QUERIES["emb_semantic_dedup"](spark, SF_SMALL).collect()
+    }
+    twin_ids = [v + 1_000_000 for v, _e in emb if v % 10 == 0]
+    assert len(rows) == len(emb) + len(twin_ids)
+    # every scaled twin collides with its original in every rotation and
+    # scores cosine 1.0 -> dropped with the original as canonical
+    # (unless an even-nearer smaller id exists, which still drops it)
+    for t in twin_ids:
+        assert not rows[t].keep, t
+        assert rows[t].canonical_id < t, t
+    # and the brute-force check: every drop really is >=0.95 cosine
+    vec = {v: np.asarray(e, dtype=np.float64) for v, e in emb}
+    for v, e in emb:
+        if v % 10 == 0:
+            vec[v + 1_000_000] = np.asarray(
+                [np.float32(x * 1.25) for x in e], dtype=np.float64
+            )
+    for r in rows.values():
+        if not r.keep:
+            a, b = vec[r.canonical_id], vec[r.vec_id]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert round(cos, 6) >= 0.95, r.vec_id
