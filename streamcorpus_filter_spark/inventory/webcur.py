@@ -460,6 +460,84 @@ def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ LM count training
+
+# must stay in lock-step with kernels/lm.py (B2/B3 bucket sizes and the
+# *31 rolling hash): this query TRAINS the same hashed char-trigram LM
+# the perplexity scorer broadcasts, but as a distributed count agg
+_LM_B2 = 4096
+_LM_B3 = 65536
+
+
+@register(
+    "lm_train_ngrams",
+    f"""
+    WITH lb AS (
+      SELECT list_transform(regexp_extract_all(hex(encode(lower(text))), '..'),
+                            x -> CAST(('0x' || x) AS BIGINT)) AS bs
+      FROM documents
+    ),
+    bb AS (
+      SELECT * FROM (
+        SELECT unnest(bs) AS b0,
+               unnest(bs[2:] || [CAST(NULL AS BIGINT)]) AS b1,
+               unnest(bs[3:] || [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)]) AS b2
+        FROM lb WHERE len(bs) >= 3
+      ) WHERE b2 IS NOT NULL
+    ),
+    g AS (
+      SELECT 2 AS kind, (b0 * 31 + b1) % {_LM_B2} AS h FROM bb
+      UNION ALL
+      SELECT 3 AS kind, ((b0 * 31 + b1) * 31 + b2) % {_LM_B3} AS h FROM bb
+    )
+    SELECT CAST(kind AS INT) AS kind, CAST(h AS BIGINT) AS h,
+           count(*) AS cnt
+    FROM g GROUP BY kind, h
+    """,
+)
+def lm_train_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed LM training: the hashed char-trigram counts that
+    kernels/lm.py's CharLM broadcasts are here COMPUTED BY SPARK — per
+    doc, lowercased UTF-8 bytes roll into context (``kind=2``, 4096
+    buckets) and trigram (``kind=3``, 65536 buckets) hashes, then one
+    global count per (kind, bucket). The output IS the model artifact
+    (CCNet trains its KenLM the same way: a counting pass over the
+    corpus, then a tiny model file everyone broadcasts).
+
+    Scale shape: per-row byte expansion stays in whole-stage codegen
+    (hex + transform over a sequence — no Python), and the count is a
+    map-side-combinable groupBy whose key space is BOUNDED (70k
+    buckets) no matter the corpus size — partials collapse to ~70k
+    rows per task before the (trivial) shuffle. This is the textbook
+    10^12-doc aggregation: constant-size shuffle, linear scan."""
+    d = load(spark, sf, "documents")
+    hx = F.hex(F.encode(F.lower("text"), "UTF-8"))
+    bs = F.transform(
+        F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+        lambda i: F.conv(hx.substr(i * 2 - 1, F.lit(2)), 16, 10).cast("bigint"),
+    )
+    b = d.select(bs.alias("bs")).filter(F.size("bs") >= 3)
+    idx = F.sequence(F.lit(1), F.size("bs") - 2)
+    at = lambda i: F.element_at("bs", i)  # noqa: E731
+    h2 = F.transform(idx, lambda i: (at(i) * 31 + at(i + 1)) % _LM_B2)
+    h3 = F.transform(
+        idx, lambda i: ((at(i) * 31 + at(i + 1)) * 31 + at(i + 2)) % _LM_B3
+    )
+    grams = b.select(
+        F.explode(
+            F.concat(
+                F.transform(h2, lambda h: F.struct(F.lit(2).alias("kind"), h.alias("h"))),
+                F.transform(h3, lambda h: F.struct(F.lit(3).alias("kind"), h.alias("h"))),
+            )
+        ).alias("g")
+    )
+    return (
+        grams.select("g.kind", "g.h")
+        .groupBy("kind", "h")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 # --------------------------------------------- SemDeDup (embedding dedup)
 
 _SEM_ROT = 8   # rotations (bucket tables)

@@ -219,6 +219,7 @@ RUN_ORDER = [
     "txt_char_entropy", "curation_pipeline", "ql_boilerplate_scrub",
     "ql_url_canonicalize", "ql_line_dedup", "dedup_keep_first",
     "dedup_incremental", "dedup_bloom", "emb_semantic_dedup",
+    "lm_train_ngrams",
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
     "scan_csv", "scan_json", "scan_iceberg_incremental",

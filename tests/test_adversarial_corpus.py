@@ -67,6 +67,15 @@ QUERIES_UNDER_TEST = [
     "ql_pii_scrub",
     "ql_toxicity_scrub",
     "ql_extract_text",
+    # round-3 web-curation ops (emb_semantic_dedup needs embeddings ->
+    # covered by test_adversarial_vectors-style planting instead)
+    "ql_boilerplate_scrub",
+    "ql_url_canonicalize",
+    "ql_line_dedup",
+    "dedup_keep_first",
+    "dedup_incremental",
+    "dedup_bloom",
+    "lm_train_ngrams",
 ]
 
 _TEXTS = [

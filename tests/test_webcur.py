@@ -213,6 +213,26 @@ def test_bloom_probe_is_broadcast(spark, reg):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+# ------------------------------------------------------------ LM training
+
+
+def test_lm_train_counts_equal_the_kernel_model(spark, reg, docs):
+    """The distributed count agg must reproduce EXACTLY the model that
+    kernels/lm.py CharLM.train builds single-node — same buckets, same
+    counts — because this query's output IS that broadcast artifact."""
+    from streamcorpus_filter_spark.kernels.lm import B2, B3, CharLM
+
+    lm = CharLM.train([t for _d, t, _s in docs])
+    rows = reg.QUERIES["lm_train_ngrams"](spark, SF_SMALL).collect()
+    got2 = {r.h: r.cnt for r in rows if r.kind == 2}
+    got3 = {r.h: r.cnt for r in rows if r.kind == 3}
+    want2 = {h: int(c) for h, c in enumerate(lm.c2) if c > 0}
+    want3 = {h: int(c) for h, c in enumerate(lm.c3) if c > 0}
+    assert got2 == want2
+    assert got3 == want3
+    assert max(got2) < B2 and max(got3) < B3
+
+
 # --------------------------------------------------------- semantic dedup
 
 
