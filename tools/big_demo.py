@@ -291,7 +291,7 @@ Throughput per doc holds as the corpus grows past every cache tier.
 ## MinHash(32 perms) + LSH(16 bands x 2 rows) near-dup dedup
 
 Input = corpus + a derived 10% twin stream (each twin truncates its
-source to 40 words), since the synthetic corpus has no text near-dups
+source to 80% of its tokens), since the synthetic corpus has no text near-dups
 by construction. Shingles are hashed to int64 before the signature and
 verify stages — same Jaccard, 8-byte join keys instead of ~25-byte
 strings.
@@ -306,8 +306,14 @@ combine absorbs the ~300 shingle rows/doc), the band join ships
 16 band-hash rows per doc, and the exact-Jaccard verify joins shingle
 sets for CANDIDATES only — so total shuffle bytes grow linearly in
 docs, never quadratically in pairs-sharing-a-shingle. The last column
-(shuffle write KB per doc) flat across corpus sizes is the 100 TB
-argument in one number.
+(shuffle write KB per doc) near-constant across a 10x corpus growth is
+the 100 TB argument in one number: measured 16.3 -> 22.3 KB/doc from
+52.9k to 528.5k docs, i.e. 13.7x bytes for 10.0x docs where an
+all-pairs design pays ~100x. The residual ~1.4x per-doc drift tracks
+the intermediate tables (candidate map, twin-source lookup) outgrowing
+the 10 MB autoBroadcastJoinThreshold and AQE picking more shuffle
+partitions — both bounded effects, not a new asymptotic term: every
+shuffled table in the plan is O(docs) rows by construction.
 """
     (REPO / "BENCH" / "BIGDEMO.md").write_text(md)
 
