@@ -1,0 +1,345 @@
+"""Data-selection & training-prep operators (LLM-pipeline extras).
+
+Three ops a training-data pipeline runs after quality filtering, each
+JVM-built-ins only in the hot path and each value-checked against a
+DuckDB oracle that RECOMPUTES the result (no frozen constants):
+
+  * ``txt_doc_chunk``      — split each document into overlapping
+    fixed-width token windows (the training-sequence chunking step that
+    precedes packing); W=32 tokens, stride S=24 (8-token overlap).
+  * ``ql_dsir_importance`` — DSIR-style data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed word-bigram features, per-bucket log(p_target/p_raw) weights
+    in integer micro-units, importance log-weight = sum over bigrams;
+    keep iff positive. The 256-bucket weight table is the "trained"
+    artifact, inlined identically on both engines (the repo's
+    ql_classifier_score convention); bucket hashing is md5-prefix so
+    every engine agrees bit-for-bit.
+  * ``emb_pq_quantize``    — product quantization of the embedding
+    column: 64 dims = 8 subspaces x 8 dims, 16 centroids per subspace
+    (codes = 8 nibbles/vector, a 256x compression of float32[64] — the
+    way a 10^12-row ANN index fits in RAM). The codebook is the
+    subvectors of the 16 smallest vec_ids, so the DuckDB oracle
+    recomputes codebook AND assignment from the table itself — unlike
+    sim_ivf_topk there is no contract-scale-only caveat.
+
+Engine-portability notes shared by all three:
+  * token split uses the pinned ASCII whitespace class (kernels/rules.py
+    spec) — Python/Java \\s is Unicode, DuckDB RE2 \\s is ASCII-only;
+  * floats never enter a comparison: PQ quantizes every coordinate to
+    clamped integer milli-units with floor() (identical IEEE double op
+    on both engines; round() half-mode differs between engines), DSIR
+    weights are exact integers;
+  * argmin ties break on the smallest centroid index on both sides
+    (array_position-of-min in Spark = first occurrence; row_number
+    ORDER BY dist, k in DuckDB).
+
+Scale shapes are in each docstring; the theme: per-row work inside
+whole-stage codegen, the codebook/weights as plan literals (a real
+deployment broadcasts the trained artifact the same way), and the only
+explode is txt_doc_chunk's — whose output is the desired row set, not
+an intermediate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..queries import load, register
+from .curation import _WS, _fnv1a, _toks
+
+# --------------------------------------------------- doc chunking
+
+CHUNK_W = 32  # window width (tokens)
+CHUNK_S = 24  # stride (tokens) -> 8-token overlap; W > S keeps every
+#               chunk non-empty (last start < n because ceil((n-W)/S)*S
+#               <= n-W+S-1 <= n-1 when W >= S)
+
+
+@register(
+    "txt_doc_chunk",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WS}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             1 + (greatest(len(toks) - {CHUNK_W}, 0) + {CHUNK_S - 1})
+                 // {CHUNK_S} AS nch
+      FROM t WHERE len(toks) > 0
+    ),
+    x AS (
+      SELECT doc_id, toks, unnest(range(0, nch)) AS chunk_idx FROM s
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx*{CHUNK_S}+1,
+                               chunk_idx*{CHUNK_S}+{CHUNK_W})) AS BIGINT)
+             AS chunk_ntok,
+           array_to_string(list_slice(toks, chunk_idx*{CHUNK_S}+1,
+                                      chunk_idx*{CHUNK_S}+{CHUNK_W}), ' ')
+             AS chunk_text
+    FROM x
+    """,
+)
+def txt_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking: every doc yields
+    ceil-div windows of W=32 tokens at stride S=24, the last window
+    short, empty docs yielding no rows. This is the sequence-prep step
+    between filtering and txt_pack_bins: a trillion docs become O(docs)
+    training windows in ONE narrow pass.
+
+    Scale shape: split/slice/explode all inside whole-stage codegen,
+    zero shuffles, and the explode multiplies rows by ~n_tokens/S —
+    output volume, not an intermediate blow-up. Chunk boundaries depend
+    only on the row itself, so the op is embarrassingly parallel and
+    resumable per input split."""
+    toks = _toks()
+    n = F.size(toks)
+    nch = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - F.lit(CHUNK_W), F.lit(0)) + F.lit(CHUNK_S - 1))
+            / F.lit(CHUNK_S)
+        )
+    ).cast("long")
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", toks.alias("toks"), n.alias("n"), nch.alias("nch"))
+        .filter(F.col("n") > 0)
+    )
+    start = (F.col("chunk_idx") * CHUNK_S + 1).cast("int")
+    sl = F.slice(F.col("toks"), start, CHUNK_W)
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("nch") - 1)).alias(
+            "chunk_idx"
+        ),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size(sl).cast("long").alias("chunk_ntok"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------- DSIR importance
+
+# per-bucket log(p_target/p_raw) in integer micro-units — deterministic
+# stand-in for the trained DSIR bucket weights, generated the same way
+# as CLF_VOCAB (FNV-1a -> [-1000, 1000]) and inlined verbatim on both
+# engines.
+DSIR_BUCKETS = 256
+DSIR_WEIGHTS: list[int] = [
+    (_fnv1a(f"dsir:{b}") % 2001) - 1000 for b in range(DSIR_BUCKETS)
+]
+_HEX = "0123456789abcdef"
+
+
+def _dsir_bucket_sql(instr_fn: str) -> str:
+    """1-based weight index for a bigram ``bg``: md5-prefix nibbles via
+    position-in-hex-alphabet (both engines return 1-based positions, so
+    bucket+1 = (i1-1)*16 + i2 directly)."""
+    return (
+        f"({instr_fn}('{_HEX}', substr(md5(bg),1,1))-1)*16"
+        f" + {instr_fn}('{_HEX}', substr(md5(bg),2,1))"
+    )
+
+
+@register(
+    "ql_dsir_importance",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WS}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bgs) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(list_sum(list_transform(bgs, bg ->
+                ([{",".join(map(str, DSIR_WEIGHTS))}])
+                  [{_dsir_bucket_sql("strpos")}])), 0) AS BIGINT)
+             AS dsir_logw_micro,
+           CAST(coalesce(list_sum(list_transform(bgs, bg ->
+                ([{",".join(map(str, DSIR_WEIGHTS))}])
+                  [{_dsir_bucket_sql("strpos")}])), 0) AS BIGINT) > 0
+             AS selected
+    FROM b
+    """,
+)
+def ql_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weighting: hash each adjacent-word bigram
+    to one of 256 buckets (md5-prefix nibbles — engine-portable), sum
+    the bucket's log(p_target/p_raw) micro-weight, keep the doc iff the
+    importance log-weight is positive. This is the hashed-n-gram
+    data-selection step a pretraining pipeline runs to tilt a raw crawl
+    toward a target domain without a neural scorer.
+
+    Scale shape: the weight table is a 256-int literal in the plan (a
+    trained table ships the same way via broadcast); per-row work is
+    one transform+aggregate fold in whole-stage codegen — zero
+    shuffles, zero Python, one pass over 10^12 docs."""
+    arr = "array(" + ",".join(map(str, DSIR_WEIGHTS)) + ")"
+    logw_sql = (
+        f"aggregate(transform(bgs, bg -> element_at({arr}, "
+        f"{_dsir_bucket_sql('instr')})), "
+        "cast(0 as bigint), (acc, x) -> acc + cast(x as bigint))"
+    )
+    toks = _toks()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", bigrams.alias("bgs"))
+        .select(
+            "doc_id",
+            F.size("bgs").cast("long").alias("n_bigrams"),
+            F.expr(logw_sql).alias("dsir_logw_micro"),
+            (F.expr(logw_sql) > 0).alias("selected"),
+        )
+    )
+
+
+# --------------------------------------------------- product quantization
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (embeddings are 64-dim)
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+# clamp quantized milli-units so a squared-diff sum can never leave
+# BIGINT range on either engine (adversarial vectors go to 1e6
+# magnitude: (2e9)^2 * 8 would overflow int64; (2e6)^2 * 8 cannot —
+# DuckDB would silently widen to HUGEINT while Spark wraps, so the
+# clamp is what keeps the two engines bit-identical)
+PQ_CLAMP = 1_000_000
+
+_QUANT_SPARK = (
+    "transform(embedding, x -> greatest(least(CAST(floor(CAST(x AS DOUBLE)"
+    f" * 1000) AS BIGINT), {PQ_CLAMP}), -{PQ_CLAMP}))"
+)
+_QUANT_DUCK = (
+    "list_transform(embedding, x -> greatest(least(CAST(floor(CAST(x AS"
+    f" DOUBLE) * 1000) AS BIGINT), {PQ_CLAMP}), -{PQ_CLAMP}))"
+)
+
+_PQ_CACHE: dict[tuple[str, str], list[list[list[int]]]] = {}
+
+
+def _pq_codebook(spark: SparkSession, sf: str) -> list[list[list[int]]]:
+    """Codebook = quantized subvectors of the PQ_K smallest vec_ids —
+    bounded deterministic 16-row collect, memoized per (app, sf) like
+    the IVF centroids. Returns [m][k][j] integer milli-units. The driver
+    quantization is the same IEEE double floor as the SQL on both
+    engines, so all three agree exactly."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _PQ_CACHE:
+        for old in [x for x in _PQ_CACHE if x[0] != key[0]]:
+            del _PQ_CACHE[old]
+        rows = (
+            load(spark, sf, "embeddings")
+            .filter(F.col("vec_id") < PQ_K)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        q = [
+            [
+                max(min(math.floor(float(x) * 1000), PQ_CLAMP), -PQ_CLAMP)
+                for x in r.embedding
+            ]
+            for r in rows
+        ]
+        _PQ_CACHE[key] = [
+            [q[k][m * PQ_SUB : (m + 1) * PQ_SUB] for k in range(PQ_K)]
+            for m in range(PQ_M)
+        ]
+    return _PQ_CACHE[key]
+
+
+def _pq_oracle() -> str:
+    terms = (
+        "list_sum(list_transform(range(1,{s}), j -> "
+        "(q.qe[CAST(m.m*{w}+j AS INT)] - cb.ce[CAST(m.m*{w}+j AS INT)])"
+        " * (q.qe[CAST(m.m*{w}+j AS INT)] - cb.ce[CAST(m.m*{w}+j AS INT)])))"
+    ).format(s=PQ_SUB + 1, w=PQ_SUB)
+    return f"""
+    WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qe FROM embeddings),
+    cb AS (SELECT vec_id AS k, qe AS ce FROM q WHERE vec_id < {PQ_K}),
+    sub AS (
+      SELECT q.vec_id, m.m, cb.k, {terms} AS dist
+      FROM q, range(0, {PQ_M}) m(m), cb
+    ),
+    best AS (
+      SELECT vec_id, m, k, dist,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, k) AS rn
+      FROM sub
+    )
+    SELECT vec_id,
+           string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS codes,
+           CAST(sum(dist) AS BIGINT) AS qerr
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+@register("emb_pq_quantize", _pq_oracle())
+def emb_pq_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization: each 64-dim embedding becomes 8 codes (one
+    argmin over 16 centroids per 8-dim subspace) plus the exact integer
+    quantization error — float32[64] compressed 256x, which is how a
+    10^12-row ANN index (sim_ivf_topk's re-rank tier) fits in executor
+    memory. All distance math is on clamped integer milli-units so
+    Spark, DuckDB, and the driver agree bit-for-bit; ties take the
+    smallest centroid index on both engines.
+
+    Scale shape: Spark inlines the (8 x 16 x 8)-int codebook as plan
+    literals (a trained codebook ships the same way, via broadcast) and
+    scores per-row inside whole-stage codegen — zero shuffles, zero
+    Python, generated as ONE SQL string (BENCH finding 5: wide plans as
+    SQL text, not ~1k Py4J Column calls). The oracle recomputes the
+    codebook from the table itself, so the value check holds at every
+    sf — no contract-scale caveat."""
+    cb = _pq_codebook(spark, sf)
+    load(spark, sf, "embeddings").createOrReplaceTempView("emb_v")
+    dist_arrays = []
+    for m in range(PQ_M):
+        dists = []
+        for k in range(PQ_K):
+            t = " + ".join(
+                f"(qe[{m * PQ_SUB + j}]-({cb[m][k][j]}))"
+                f"*(qe[{m * PQ_SUB + j}]-({cb[m][k][j]}))"
+                for j in range(PQ_SUB)
+            )
+            dists.append(f"({t})")
+        dist_arrays.append(f"array({','.join(dists)}) AS d{m}")
+    codes = ",".join(
+        f"CAST(array_position(d{m}, array_min(d{m})) - 1 AS STRING)"
+        for m in range(PQ_M)
+    )
+    qerr = " + ".join(f"array_min(d{m})" for m in range(PQ_M))
+    return spark.sql(
+        f"""
+        WITH q AS (SELECT vec_id, {_QUANT_SPARK} AS qe FROM emb_v),
+        d AS (SELECT vec_id, {",".join(dist_arrays)} FROM q)
+        SELECT vec_id, concat_ws('-', {codes}) AS codes,
+               CAST({qerr} AS BIGINT) AS qerr
+        FROM d
+        """
+    )

@@ -187,6 +187,7 @@ from .inventory import (  # noqa: E402,F401
     extras,
     quality,
     relational,
+    selection,
     streaming,
     udf_surface,
     webcur,
@@ -220,6 +221,7 @@ RUN_ORDER = [
     "ql_url_canonicalize", "ql_line_dedup", "dedup_keep_first",
     "dedup_incremental", "dedup_bloom", "emb_semantic_dedup",
     "lm_train_ngrams",
+    "txt_doc_chunk", "ql_dsir_importance", "emb_pq_quantize",
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
     "scan_csv", "scan_json", "scan_iceberg_incremental",

@@ -44,6 +44,8 @@ QUERIES_UNDER_TEST = [
     "txt_pack_bins",
     "txt_char_entropy",
     "ql_classifier_score",
+    "ql_dsir_importance",
+    "txt_doc_chunk",
     "ql_stratified_sample",
     "ql_source_mix",
     "curation_pipeline",

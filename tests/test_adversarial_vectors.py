@@ -20,7 +20,7 @@ import pytest
 DIM = 64
 QUERIES_UNDER_TEST = ["dedup_embedding_cosine", "sim_topk_bruteforce",
                       "sim_lsh_bucketed", "emb_label_centroid",
-                      "emb_semantic_dedup"]
+                      "emb_semantic_dedup", "emb_pq_quantize"]
 
 
 def _vectors() -> list[list[float]]:
