@@ -35,14 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..kernels.rules import STOPWORDS
 from ..queries import load, register
-
-# pinned ASCII whitespace class (kernels/rules.py tokenization spec):
-# Python/Java \s is Unicode while DuckDB's RE2 \s is ASCII-only
-_WS = "[ \\t\\n\\r\\f\\x0B]+"
-
-
-def _toks(col: str = "text"):
-    return F.filter(F.split(F.lower(col), _WS), lambda x: x != "")
+from ._text import _WS, _fnv1a, _toks  # noqa: F401  (re-exported: tests import from here)
 
 
 # --------------------------------------------------- linear classifier
@@ -56,13 +49,6 @@ _CONTENT_WORDS = (
     "data spark filter quality corpus model token language pipeline web "
     "crawl page text score train sample noise clean duplicate pattern"
 ).split()
-
-
-def _fnv1a(word: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in word.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 CLF_VOCAB: dict[str, int] = {

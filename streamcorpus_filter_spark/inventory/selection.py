@@ -49,7 +49,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..queries import load, register
-from .curation import _WS, _fnv1a, _toks
+from ._text import _WS, _fnv1a, _toks
 
 # --------------------------------------------------- doc chunking
 
