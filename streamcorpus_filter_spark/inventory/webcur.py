@@ -692,3 +692,180 @@ def emb_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("canon", "vec_id").alias("canonical_id"),
         )
     )
+
+
+# --------------------------------------------------- domain blocklist
+
+# UT1-style blocklist with SUFFIX semantics: an entry blocks the exact
+# host and every subdomain of it. Entries at four depths so the
+# dot-boundary matching (not substring matching!) is what's under test:
+# "example.net" must block "blog.src5.example.net" but an entry
+# "le.com" must never block "example.com".
+_BL_ENTRIES = (
+    "example.net",
+    "ads.src1.example.com",
+    "media.src2.example.org",
+    "src3.example.com",
+)
+
+# fixture has no URL column -> derive hosts at four subdomain depths
+_HOST_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'ads.' || source || '.example.com' "
+    "WHEN 1 THEN 'cdn.media.' || source || '.example.org' "
+    "WHEN 2 THEN source || '.example.com' "
+    "ELSE 'blog.' || source || '.example.net' END"
+)
+
+
+@register(
+    "ql_domain_blocklist",
+    f"""
+    WITH h AS (SELECT doc_id, {_HOST_SQL} AS host FROM documents),
+    s AS (
+      SELECT doc_id, host,
+             list_filter(
+               list_transform(range(1, len(string_split(host, '.')) + 1),
+                 i -> array_to_string(string_split(host, '.')[CAST(i AS BIGINT):], '.')),
+               x -> list_contains({list(_BL_ENTRIES)!r}, x)) AS matches
+      FROM h
+    )
+    SELECT doc_id, host,
+           len(matches) > 0 AS blocked,
+           coalesce(matches[1], '') AS matched_suffix
+    FROM s
+    """,
+)
+def ql_domain_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Host blocklist filtering with suffix semantics (the UT1/adult-
+    list gate every crawl pipeline runs first): an entry blocks the
+    exact host and all its subdomains, matched only at dot boundaries.
+    Emits the decision and the MOST SPECIFIC (longest) matching entry
+    per host, so lineage metrics can say which list entry killed a page.
+
+    Scale shape: the real-world list (~4M hosts) is a broadcast lookup;
+    here it rides the plan as an array literal — per row we enumerate
+    the host's O(depth<=5) dot-suffixes and probe the list, so the
+    corpus NEVER shuffles and the gate composes with predicate pushdown
+    (a `WHERE NOT blocked` on top of this prunes at the scan). At 4M
+    entries the identical semantics run as suffix-explode + broadcast
+    hash join against the entry set; the per-row form here avoids even
+    that map-side hash probe for small lists."""
+    d = load(spark, sf, "documents")
+    host = F.expr(_HOST_SQL)
+    parts = F.split(host, "\\.")
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+    matches = F.filter(sufs, lambda s: s.isin(*_BL_ENTRIES))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        (F.size(matches) > 0).alias("blocked"),
+        F.coalesce(F.get(matches, 0), F.lit("")).alias("matched_suffix"),
+    )
+
+
+# --------------------------------------------------- duplicated spans
+
+# hashed fixed-width token windows (W=8, stride 4): the distributable
+# approximation of ExactSubstr dedup (Lee et al. 2022 use a suffix
+# array, which is single-machine; stride-S windows guarantee any
+# duplicated run of >= W + S - 1 tokens contains an aligned window on
+# both copies)
+_SPAN_W = 8
+_SPAN_STRIDE = 4
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_RAW_WS}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= {_SPAN_W}
+                  THEN range(0, len(toks) - {_SPAN_W} + 1, {_SPAN_STRIDE})
+                  ELSE [] END AS offs
+      FROM t
+    ),
+    sp AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[o.o + 1 : o.o + {_SPAN_W}], chr(31))) AS h
+      FROM w LEFT JOIN LATERAL unnest(offs) o(o) ON true
+    ),
+    c AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS c FROM sp)
+    SELECT doc_id,
+           count(h) AS n_spans,
+           CAST(sum(CASE WHEN h IS NOT NULL AND c > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_spans,
+           CAST((1000 * sum(CASE WHEN h IS NOT NULL AND c > 1 THEN 1 ELSE 0 END))
+                // greatest(count(h), 1) AS INT) AS dup_permille
+    FROM c GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-span detection: hash every aligned
+    8-token window (stride 4) and flag windows whose exact hash occurs
+    anywhere else in the corpus — the distributable stand-in for
+    ExactSubstr dedup (the suffix-array formulation is single-machine).
+    Per doc: total windows, duplicated windows, and dup_permille, the
+    integer-exact duplication ratio a curation gate thresholds on.
+
+    Scale shape: stride caps the explode factor at n_tokens/4 rows per
+    doc; the only shuffles are ONE exchange on the uniform 128-bit
+    window hash (window count(*) instead of groupBy + join-back — one
+    exchange, not three) and the per-doc rollup. At 10^12 docs the hash
+    becomes xxhash64 (8 bytes) and the span stream is exactly the
+    MinHash explode shape the cluster already handles; no driver state,
+    no skew (hashes are uniform by construction)."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != ""
+    )
+    base = d.select("doc_id", toks.alias("toks"))
+    offs = F.when(
+        F.size("toks") >= _SPAN_W,
+        F.sequence(
+            F.lit(0), F.size("toks") - _SPAN_W, F.lit(_SPAN_STRIDE)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
+        "doc_id",
+        F.explode_outer(offs).alias("o"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("o").isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.slice("toks", F.col("o") + 1, _SPAN_W)
+                )
+            ),
+        ).alias("h"),
+    )
+    c = spans.withColumn(
+        "c", F.count("*").over(Window.partitionBy("h"))
+    )
+    dup = F.sum(
+        F.when(F.col("h").isNotNull() & (F.col("c") > 1), 1).otherwise(0)
+    )
+    n = F.count("h")
+    return (
+        c.groupBy("doc_id")
+        .agg(n.alias("n_spans"), dup.cast("bigint").alias("n_dup_spans"))
+        # integer DIV on both engines (a double `/` + CAST truncates the
+        # FP approximation and can land one below the exact quotient)
+        .withColumn(
+            "dup_permille",
+            F.expr(
+                "CAST((1000 * n_dup_spans) DIV greatest(n_spans, 1) AS INT)"
+            ),
+        )
+    )

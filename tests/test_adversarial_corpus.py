@@ -78,6 +78,8 @@ QUERIES_UNDER_TEST = [
     "dedup_incremental",
     "dedup_bloom",
     "lm_train_ngrams",
+    "ql_domain_blocklist",
+    "dedup_substring_spans",
 ]
 
 _TEXTS = [

@@ -266,3 +266,116 @@ def test_semantic_dedup_drops_scaled_twins(spark, reg):
             a, b = vec[r.canonical_id], vec[r.vec_id]
             cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
             assert round(cos, 6) >= 0.95, r.vec_id
+
+
+# --------------------------------------------------- domain blocklist
+
+
+def test_domain_blocklist_recount(spark, reg, docs):
+    from streamcorpus_filter_spark.inventory.webcur import _BL_ENTRIES
+
+    got = {
+        r.doc_id: (r.host, r.blocked, r.matched_suffix)
+        for r in reg.QUERIES["ql_domain_blocklist"](spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(docs)
+    n_blocked = 0
+    for doc_id, _text, source in docs:
+        m = doc_id % 4
+        host = {
+            0: f"ads.{source}.example.com",
+            1: f"cdn.media.{source}.example.org",
+            2: f"{source}.example.com",
+            3: f"blog.{source}.example.net",
+        }[m]
+        parts = host.split(".")
+        sufs = [".".join(parts[i:]) for i in range(len(parts))]
+        matches = [s for s in sufs if s in _BL_ENTRIES]
+        blocked = bool(matches)
+        n_blocked += blocked
+        assert got[doc_id] == (host, blocked, matches[0] if matches else "")
+    # every %4==3 host is under example.net -> at least a quarter blocked
+    assert n_blocked >= len(docs) // 4
+
+
+def test_domain_blocklist_is_suffix_not_substring(spark, reg):
+    # "src30.example.com" must NOT match the "src3.example.com" entry:
+    # matching is at dot boundaries, never substring
+    from streamcorpus_filter_spark.inventory.webcur import _BL_ENTRIES
+
+    host = "src30.example.com"
+    parts = host.split(".")
+    sufs = [".".join(parts[i:]) for i in range(len(parts))]
+    assert "src3.example.com" in _BL_ENTRIES
+    assert not any(s in _BL_ENTRIES for s in sufs)
+
+
+# --------------------------------------------------- duplicated spans
+
+
+def test_substring_spans_recount(spark, reg, docs):
+    from collections import Counter
+
+    from streamcorpus_filter_spark.inventory.webcur import (
+        _SPAN_STRIDE,
+        _SPAN_W,
+    )
+
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_permille)
+        for r in reg.QUERIES["dedup_substring_spans"](spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(docs)
+
+    spans: dict[int, list[str]] = {}
+    counts: Counter = Counter()
+    for doc_id, text, _source in docs:
+        toks = _raw_tokens(text.lower())
+        hs = [
+            "\x1f".join(toks[o : o + _SPAN_W])
+            for o in range(0, len(toks) - _SPAN_W + 1, _SPAN_STRIDE)
+        ]
+        spans[doc_id] = hs
+        counts.update(hs)
+    for doc_id, _text, _source in docs:
+        hs = spans[doc_id]
+        n_dup = sum(1 for h in hs if counts[h] > 1)
+        expect = (len(hs), n_dup, (1000 * n_dup) // max(len(hs), 1))
+        assert got[doc_id] == expect, doc_id
+
+
+def test_substring_spans_flags_planted_duplicate_runs(spark, reg, tmp_path):
+    # two docs sharing a 12-token run (>= W + stride - 1 = 11) must BOTH
+    # get a duplicated window; an 11+-token run always contains an
+    # aligned window on both copies ONLY when alignment phases line up —
+    # plant the run at offset 0 in both docs so the guarantee is exact
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    run = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (0, run + " tail alpha beta gamma delta epsilon zeta"),
+        (1, run + " other ending entirely unrelated words here"),
+        (2, "completely different text with plenty of words to span"),
+    ]
+    d = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * 3,
+                "source": ["srcA"] * 3,
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ),
+        d,
+    )
+    got = {
+        r.doc_id: r.n_dup_spans
+        for r in reg.QUERIES["dedup_substring_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0] >= 1 and got[1] >= 1
+    assert got[2] == 0
