@@ -195,6 +195,12 @@ and 8,264/8,264 kept documents byte-identical to the row-at-a-time
 oracle through extract -> rules -> langid -> perplexity -> entity match
 -> PII+toxicity scrub.
 
+Standing gate: `pytest -m scale10x` re-runs every documents/embeddings
+query against DuckDB at sf0.1 (10x contract scale; sim_ivf_topk's
+contract-scale-only oracle is the one allowed exception). Per-round
+record: round 2 = 104/105; round 3 = green at 114 registered queries
+(208 s wall, local[8]).
+
 ## Headline bench (driver-run per round)
 
 `python bench.py` at sf0.1 / local[32] times pipeline, flagship AC-match

@@ -583,3 +583,91 @@ def ql_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
             F.array_join(kept, " ").alias("clean_text"),
         )
     )
+
+
+# --------------------------------------------------- threshold sweep
+
+# classifier-threshold calibration grid (micro-units of the linear
+# logit): one row per candidate keep-threshold with keep volume and
+# kept-mass stats — the table a curation run reads to PICK its cutoff
+SWEEP_GRID = (-3000, -2000, -1000, 0, 1000, 2000, 3000)
+
+
+@register(
+    "ql_threshold_sweep",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(toks, w -> {_clf_case_sql()})), 0)
+                  AS BIGINT) AS logit
+      FROM t
+    ),
+    j AS (
+      SELECT g.thr, s.logit
+      FROM (SELECT unnest([{", ".join(str(t) for t in SWEEP_GRID)}]) AS thr) g
+      CROSS JOIN s
+    )
+    SELECT CAST(thr AS INT) AS thr_micro,
+           CAST(coalesce(sum(CASE WHEN logit > thr THEN 1 END), 0) AS BIGINT)
+             AS n_keep,
+           CAST((1000 * coalesce(sum(CASE WHEN logit > thr THEN 1 END), 0))
+                // count(*) AS INT) AS keep_permille,
+           CAST(coalesce(sum(CASE WHEN logit > thr THEN logit END), 0) AS BIGINT)
+             AS kept_logit_micro
+    FROM j GROUP BY thr
+    """,
+)
+def ql_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-threshold calibration sweep: score every doc once with
+    the ql_classifier_score linear logit, then report keep volume,
+    keep rate (permille, exact integer division), and kept logit mass at
+    each threshold in SWEEP_GRID — the keep-rate-vs-cutoff table a
+    curation job inspects before committing a corpus-wide filter. All
+    stats are exact integers (micro-unit weights, permille rates) so any
+    engine and any partitioning agree bit-for-bit.
+
+    Scale shape: the logit folds per row inside whole-stage codegen
+    (vocab is a plan literal); the grid fan-out is a 7-element literal
+    explode whose grouped aggregation partial-aggregates map-side, so
+    the shuffle carries ~7 rows per task regardless of corpus size."""
+    vocab = F.create_map(
+        *[F.lit(x) for w, v in sorted(CLF_VOCAB.items()) for x in (w, v)]
+    )
+    logit = F.aggregate(
+        F.transform(_toks(), lambda w: F.coalesce(vocab[w], F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = load(spark, sf, "documents").select(logit.alias("logit"))
+    kept = F.col("logit") > F.col("thr_micro")
+    return (
+        scored.select(
+            F.explode(
+                F.array(*[F.lit(t) for t in SWEEP_GRID])
+            ).alias("thr_micro"),
+            "logit",
+        )
+        .groupBy("thr_micro")
+        .agg(
+            F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.count("*").alias("n_total"),
+            F.coalesce(F.sum(F.when(kept, F.col("logit"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_logit_micro"),
+        )
+        .select(
+            "thr_micro",
+            "n_keep",
+            F.expr("CAST((1000 * n_keep) DIV n_total AS INT)").alias(
+                "keep_permille"
+            ),
+            "kept_logit_micro",
+        )
+    )

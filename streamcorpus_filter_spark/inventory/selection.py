@@ -370,3 +370,47 @@ def emb_pq_quantize(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     return q.mapInPandas(pq_batches, out_schema)
+
+
+# --------------------------------------------------- hash split
+
+# train/val/test assignment by 2-hex md5(doc_id) prefix, compared
+# lexicographically (== numerically for fixed-width hex): <= 'cb' is
+# 204/256 ~ 80% train, <= 'e5' the next 26/256 ~ 10% val, rest test.
+SPLIT_TRAIN_MAX = "cb"
+SPLIT_VAL_MAX = "e5"
+
+_SPLIT_BUCKET_SQL = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+@register(
+    "ql_hash_split",
+    f"""
+    SELECT doc_id, lang,
+           {_SPLIT_BUCKET_SQL} AS bucket,
+           CASE WHEN {_SPLIT_BUCKET_SQL} <= '{SPLIT_TRAIN_MAX}' THEN 'train'
+                WHEN {_SPLIT_BUCKET_SQL} <= '{SPLIT_VAL_MAX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def ql_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split: assign each doc by the first
+    two hex chars of md5(doc_id) — ~80/10/10. Hash assignment instead of
+    rand() because a training corpus split must be reproducible across
+    engines, retries, resumed runs, and INCREMENTAL ingests (a new crawl
+    snapshot's docs fall into the same splits without reshuffling old
+    ones — the property a sticky eval holdout needs).
+
+    Scale shape: a scalar projection on the scan — no shuffle, no state,
+    no seed coordination across 1000 executors; downstream writers just
+    ``partitionBy("split")``."""
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b <= SPLIT_TRAIN_MAX, "train")
+        .when(b <= SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return load(spark, sf, "documents").select(
+        "doc_id", "lang", b.alias("bucket"), split.alias("split")
+    )

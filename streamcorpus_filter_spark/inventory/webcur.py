@@ -869,3 +869,70 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------ per-host cap
+
+# keep at most K docs per host, best-first — the RefinedWeb-style guard
+# against a single template farm dominating the corpus
+HOST_CAP_K = 5
+_HOST_SALTS = 16  # phase-1 salt fan-out for mega-hosts
+
+# the fixture has no host column, so derive one SKEWED on purpose:
+# 75% of docs land on one hub host (the mega-host a real crawl always
+# has), the rest spread across per-source hosts
+_CAP_HOST_SQL = (
+    "CASE WHEN doc_id % 4 < 3 THEN 'hub.example.com' "
+    "ELSE lower(source) || '.example.com' END"
+)
+
+
+@register(
+    "ql_host_cap",
+    f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, {_CAP_HOST_SQL} AS host FROM documents
+    ),
+    r AS (
+      SELECT host, doc_id, n_chars,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS host_rank
+      FROM d
+    )
+    SELECT host, doc_id, n_chars, CAST(host_rank AS INT) AS host_rank
+    FROM r WHERE host_rank <= {HOST_CAP_K}
+    """,
+)
+def ql_host_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host document cap: keep at most K=HOST_CAP_K docs per host,
+    ranked best-first (n_chars DESC as the quality stand-in, doc_id as
+    the deterministic tie-break). Host-level caps are how web curation
+    stops one template farm / mirror host from dominating a trillion-doc
+    corpus; the host key is the classic SKEWED key (the planted fixture
+    puts 75% of docs on one hub host).
+
+    Scale shape: a naive `row_number() OVER (PARTITION BY host)` sorts
+    the whole mega-host in ONE reducer partition. Instead, two salted
+    stages: stage 1 ranks within (host, salt=doc_id%16) — the mega-host
+    splits into 16 spill-safe external sorts — and keeps only K rows per
+    salted group; stage 2 re-ranks the <= 16*K survivors per host, a
+    bounded group no matter how hot the host. Same rows as the single
+    window (any global top-K survives every salted cut), which is what
+    the DuckDB single-window oracle checks."""
+    d = load(spark, sf, "documents").select(
+        F.expr(_CAP_HOST_SQL).alias("host"), "doc_id", "n_chars"
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    s1 = (
+        d.withColumn("salt", F.col("doc_id") % _HOST_SALTS)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= HOST_CAP_K)
+    )
+    w2 = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        s1.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= HOST_CAP_K)
+        .select("host", "doc_id", "n_chars", "host_rank")
+    )

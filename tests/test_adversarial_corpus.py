@@ -80,6 +80,9 @@ QUERIES_UNDER_TEST = [
     "lm_train_ngrams",
     "ql_domain_blocklist",
     "dedup_substring_spans",
+    "ql_host_cap",
+    "ql_hash_split",
+    "ql_threshold_sweep",
 ]
 
 _TEXTS = [

@@ -264,3 +264,37 @@ def test_boilerplate_scrub_hot_set_is_broadcast(spark, reg):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------- threshold sweep
+
+
+def test_threshold_sweep_recount(spark, reg, docs):
+    from streamcorpus_filter_spark.inventory.curation import SWEEP_GRID
+
+    logits = [
+        sum(CLF_VOCAB.get(w, 0) for w in _tokens(text))
+        for _doc_id, text, _lang, _n in docs
+    ]
+    got = {
+        r.thr_micro: (r.n_keep, r.keep_permille, r.kept_logit_micro)
+        for r in reg.QUERIES["ql_threshold_sweep"](spark, SF_SMALL).collect()
+    }
+    assert sorted(got) == sorted(SWEEP_GRID)
+    for thr in SWEEP_GRID:
+        kept = [x for x in logits if x > thr]
+        want = (len(kept), 1000 * len(kept) // len(logits), sum(kept))
+        assert got[thr] == want, thr
+
+
+def test_threshold_sweep_monotone(spark, reg):
+    rows = sorted(
+        reg.QUERIES["ql_threshold_sweep"](spark, SF_SMALL).collect(),
+        key=lambda r: r.thr_micro,
+    )
+    # raising the cutoff can only shrink the kept set
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_keep <= a.n_keep
+        assert b.keep_permille <= a.keep_permille
+    # and at 500 real docs the sweep must actually discriminate
+    assert rows[0].n_keep > rows[-1].n_keep

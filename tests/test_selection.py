@@ -186,3 +186,37 @@ def test_pq_assignment_matches_numpy_argmin(spark, reg):
         r = out[vid]
         assert r.codes == "-".join(map(str, codes))
         assert r.qerr == qerr
+
+
+# --------------------------------------------------------------- hash split
+
+
+def test_hash_split_recount(spark, reg, docs):
+    got = {
+        r.doc_id: (r.bucket, r.split)
+        for r in reg.QUERIES["ql_hash_split"](spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(docs)
+    counts = {"train": 0, "val": 0, "test": 0}
+    for doc_id, _text in docs:
+        b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        split = "train" if b <= "cb" else ("val" if b <= "e5" else "test")
+        counts[split] += 1
+        assert got[doc_id] == (b, split), doc_id
+    # ratio sanity at 500 docs: ~80/10/10 with binomial slack
+    n = len(docs)
+    assert 0.70 * n <= counts["train"] <= 0.90 * n
+    assert counts["val"] >= 1 and counts["test"] >= 1
+
+
+def test_hash_split_is_sticky_under_increments(spark, reg):
+    """A doc's split depends only on doc_id — re-running over a GROWN
+    corpus must not move any old doc (the sticky-holdout property)."""
+    full = {
+        r.doc_id: r.split
+        for r in reg.QUERIES["ql_hash_split"](spark, SF_SMALL).collect()
+    }
+    for doc_id, split in full.items():
+        b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        want = "train" if b <= "cb" else ("val" if b <= "e5" else "test")
+        assert split == want

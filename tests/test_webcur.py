@@ -379,3 +379,54 @@ def test_substring_spans_flags_planted_duplicate_runs(spark, reg, tmp_path):
     }
     assert got[0] >= 1 and got[1] >= 1
     assert got[2] == 0
+
+
+# --------------------------------------------------- per-host cap
+
+
+def test_host_cap_recount(spark, reg):
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, source, n_chars FROM '{SF_SMALL}/documents.parquet'"
+        )
+        .fetchall()
+    )
+    # independent recount: full sort per host, top-K slice
+    by_host: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, source, n_chars in rows:
+        host = (
+            "hub.example.com"
+            if doc_id % 4 < 3
+            else f"{source.lower()}.example.com"
+        )
+        by_host.setdefault(host, []).append((-n_chars, doc_id))
+    want = set()
+    for host, lst in by_host.items():
+        for rank, (neg, doc_id) in enumerate(sorted(lst)[:5], start=1):
+            want.add((host, doc_id, -neg, rank))
+    got = {
+        (r.host, r.doc_id, r.n_chars, r.host_rank)
+        for r in reg.QUERIES["ql_host_cap"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    # fixture sanity: the hub host is genuinely the skewed key (75% of
+    # input docs) yet contributes exactly K output rows like any other
+    assert len(by_host["hub.example.com"]) >= 3 * len(rows) // 4 - 1
+    assert sum(1 for h, *_ in got if h == "hub.example.com") == 5
+
+
+def test_host_cap_salting_invariant(spark, reg):
+    """The salted two-phase plan must equal ONE global window: every
+    host emits <= K rows, ranks are 1..K dense, and each host's kept set
+    is the lexicographic top-K by (n_chars DESC, doc_id)."""
+    out = reg.QUERIES["ql_host_cap"](spark, SF_SMALL).collect()
+    per_host: dict[str, list] = {}
+    for r in out:
+        per_host.setdefault(r.host, []).append(r)
+    for host, rs in per_host.items():
+        rs.sort(key=lambda r: r.host_rank)
+        assert [r.host_rank for r in rs] == list(range(1, len(rs) + 1)), host
+        assert len(rs) <= 5
+        keys = [(-r.n_chars, r.doc_id) for r in rs]
+        assert keys == sorted(keys), host
