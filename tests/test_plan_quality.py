@@ -182,3 +182,33 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_run_order_covers_every_registered_query():
+    """RUN_ORDER is the driver-attestation rotation — a query missing
+    from it silently falls to append-order and may never get a driver
+    row. Every registered query must be listed exactly once, and every
+    listed name must exist (catches renames going stale)."""
+    import __spark_entry__ as e
+    from streamcorpus_filter_spark.queries import RUN_ORDER
+
+    registered = set(e.queries())
+    listed = list(RUN_ORDER)
+    assert len(listed) == len(set(listed)), "duplicate names in RUN_ORDER"
+    assert set(listed) == registered, (
+        f"missing from RUN_ORDER: {sorted(registered - set(listed))}; "
+        f"stale in RUN_ORDER: {sorted(set(listed) - registered)}"
+    )
+
+
+def test_host_cap_is_salted_two_phase(spark):
+    """ql_host_cap must NOT be one global window over the raw host key
+    (a mega-host would sort in a single reducer): the plan needs two
+    window stages — the first partitioned by (host, salt), the second by
+    host over the capped survivors — and no Python fence."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["ql_host_cap"](spark, SF_SMALL))
+    assert plan.count("Window") >= 2, plan
+    assert "salt" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
