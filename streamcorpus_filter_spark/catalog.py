@@ -75,6 +75,7 @@ class SnapshotCatalog:
         input_files: list[str] | None = None,
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
+        operation: str = "append",
     ) -> dict:
         """Write ``df`` as a new snapshot; returns the manifest dict.
 
@@ -82,6 +83,10 @@ class SnapshotCatalog:
         atomic rename — a crash mid-write leaves a dangling data dir that
         no manifest references (readers never see partial output), which
         is the same commit protocol Iceberg uses (metadata swap last).
+
+        ``operation`` is "append" (new logical rows) or "replace" (the
+        snapshot's data dir holds the ENTIRE table state as of commit —
+        Iceberg's rewrite_data_files REPLACE commit; see compact()).
         """
         snap_id = uuid.uuid4().hex[:16]
         data_dir = self.root / "data" / snap_id
@@ -97,6 +102,7 @@ class SnapshotCatalog:
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
             "committed_at": time.time(),
+            "operation": operation,
             "data_dir": str(data_dir),
             "input_files": sorted(input_files or []),
             "metrics": metrics or {},
@@ -138,6 +144,31 @@ class SnapshotCatalog:
             # accumulate in snapshots/ across driver runs
             tmp.unlink(missing_ok=True)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        target_files: int = 1,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Small-file compaction: rewrite the CURRENT table state into one
+        new snapshot of ``target_files`` files (Iceberg's
+        ``rewrite_data_files`` + REPLACE commit). Logical content is
+        unchanged — readers as of any earlier snapshot still see the
+        pre-compaction files (time travel is unaffected because the chain
+        cut only considers replaces at-or-before the requested snapshot),
+        and incremental readers skip the rewrite entirely.
+
+        The rewrite is safe against the read-while-write hazard because
+        the output goes to a NEW data dir: the coalesce plan streams from
+        the old snapshot dirs, which are immutable.
+
+        At 100 TB compaction is the maintenance job that keeps scan task
+        counts sane after many small streaming/resume appends; here it is
+        one ``coalesce`` (no shuffle — it only merges splits) per call."""
+        current = self.read(spark).coalesce(target_files)
+        return self.append(current, metrics=metrics, operation="replace")
+
     # ---------------------------------------------------------------- read
 
     def _chain(self, snapshot_id: str | None) -> list[dict]:
@@ -151,12 +182,23 @@ class SnapshotCatalog:
                 return out
         raise KeyError(f"unknown snapshot {snapshot_id!r}")
 
+    @staticmethod
+    def _from_last_replace(chain: list[dict]) -> list[dict]:
+        """Cut the chain at its most recent REPLACE snapshot: that
+        snapshot's data dir holds the whole table state at its commit, so
+        everything older is superseded (exactly how an Iceberg reader
+        resolves a rewrite)."""
+        for i in range(len(chain) - 1, -1, -1):
+            if chain[i].get("operation") == "replace":
+                return chain[i:]
+        return chain
+
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
         """Table state as of ``snapshot_id`` (default: latest)."""
         chain = self._chain(snapshot_id)
         if not chain:
             raise ValueError(f"catalog {self.root} has no snapshots")
-        return self._read_snapshots(spark, chain)
+        return self._read_snapshots(spark, self._from_last_replace(chain))
 
     @staticmethod
     def _read_snapshots(spark: SparkSession, snaps: list[dict]) -> DataFrame:
@@ -189,7 +231,14 @@ class SnapshotCatalog:
         seen = [s["snapshot_id"] for s in chain]
         if after_snapshot_id not in seen:
             raise KeyError(f"unknown snapshot {after_snapshot_id!r}")
-        new = chain[seen.index(after_snapshot_id) + 1 :]
+        # REPLACE snapshots rewrite existing rows, never add logical rows:
+        # an incremental (CDC-style) consumer must skip them or it would
+        # re-see every pre-compaction row as "new"
+        new = [
+            s
+            for s in chain[seen.index(after_snapshot_id) + 1 :]
+            if s.get("operation") != "replace"
+        ]
         if not new:
             return self.read(spark).limit(0)
         return self._read_snapshots(spark, new)

@@ -138,3 +138,31 @@ def ql_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
     )
+
+
+@register(
+    "sink_compact",
+    """
+    SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction under the value-hash check: the fixture is
+    appended as four fragment snapshots (the small-file debris a
+    streaming/resume job leaves behind), compacted into a 2-file REPLACE
+    snapshot, appended once more post-compaction, and the final
+    aggregation runs over the compacted-plus-appended read — so chain
+    truncation, content preservation through the rewrite, and
+    append-after-replace are all inside the oracle comparison."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_compact_"))
+    docs = load(spark, sf, "documents")
+    for i in range(4):
+        cat.append(docs.where((F.col("doc_id") % 5 == i)))
+    cat.compact(spark, target_files=2)
+    cat.append(docs.where(F.col("doc_id") % 5 == 4))
+    return (
+        cat.read(spark)
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+    )

@@ -226,7 +226,7 @@ RUN_ORDER = [
     "ql_host_cap", "ql_hash_split", "ql_threshold_sweep",
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
-    "scan_csv", "scan_json", "scan_iceberg_incremental",
+    "scan_csv", "scan_json", "scan_iceberg_incremental", "sink_compact",
     "dedup_cluster_components",
     "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
     "stream_session_window", "stream_dedup_watermark",

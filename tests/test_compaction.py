@@ -1,0 +1,82 @@
+"""Snapshot-compaction semantics (catalog.py compact / REPLACE commits).
+
+The driver row (sink_compact) value-checks content preservation through
+a rewrite; these tests check what the row can't: the file count actually
+drops, time travel to pre-compaction snapshots is unaffected, and
+incremental consumers never re-see rewritten rows.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamcorpus_filter_spark.catalog import SnapshotCatalog
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _data_files(cat: SnapshotCatalog, df) -> list[str]:
+    return sorted(df.inputFiles())
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    # four fragment appends, each repartitioned into 4 files -> 16 files
+    for i in range(4):
+        c.append(docs.where(F.col("doc_id") % 4 == i).repartition(4))
+    return c
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, cat):
+    before_rows = sorted(r.doc_id for r in cat.read(spark).collect())
+    n_files_before = len(_data_files(cat, cat.read(spark)))
+    assert n_files_before >= 16
+
+    cat.compact(spark, target_files=2)
+
+    after = cat.read(spark)
+    assert sorted(r.doc_id for r in after.collect()) == before_rows
+    assert len(_data_files(cat, after)) <= 2
+
+
+def test_time_travel_ignores_later_compaction(spark, cat):
+    s2 = cat.snapshots()[1]  # second fragment append
+    want = sorted(r.doc_id for r in cat.read(spark, s2["snapshot_id"]).collect())
+    cat.compact(spark, target_files=1)
+    got = sorted(r.doc_id for r in cat.read(spark, s2["snapshot_id"]).collect())
+    assert got == want
+
+
+def test_incremental_skips_rewrites(spark, cat):
+    s_last = cat.latest_snapshot()["snapshot_id"]
+    cat.compact(spark, target_files=1)
+    # nothing logically new after the last append -> empty increment
+    assert cat.read_incremental(spark, s_last).count() == 0
+    # a post-compaction append IS new, and ONLY it shows up
+    extra = spark.createDataFrame(
+        [(10_000_001, "en", 42)], "doc_id bigint, lang string, n_chars bigint"
+    )
+    cat.append(extra)
+    inc = cat.read_incremental(spark, s_last).collect()
+    assert [r.doc_id for r in inc] == [10_000_001]
+
+
+def test_append_after_compaction_unions_with_replace(spark, cat):
+    n0 = cat.read(spark).count()
+    cat.compact(spark, target_files=1)
+    extra = spark.createDataFrame(
+        [(10_000_002, "fr", 7)], "doc_id bigint, lang string, n_chars bigint"
+    )
+    cat.append(extra)
+    assert cat.read(spark).count() == n0 + 1
+    # and a second compaction folds the tail back into one snapshot
+    cat.compact(spark, target_files=1)
+    assert cat.read(spark).count() == n0 + 1
+    assert len(_data_files(cat, cat.read(spark))) <= 1
