@@ -243,6 +243,57 @@ class SnapshotCatalog:
             return self.read(spark).limit(0)
         return self._read_snapshots(spark, new)
 
+    # ----------------------------------------------------------- maintenance
+
+    def expire_snapshots(self) -> dict:
+        """Expire every snapshot superseded by the latest REPLACE commit
+        (Iceberg's ``expire_snapshots``): their manifests are removed and
+        any data dir no longer referenced by a surviving manifest is
+        deleted. Time travel to expired snapshots stops working — by
+        design; that is the storage-reclaim trade — while the current
+        state and post-replace increments are untouched. No-op if the
+        table has never been compacted.
+
+        Returns ``{"expired": n_manifests, "removed_dirs": n_dirs}``."""
+        import shutil
+
+        ms = self._manifests()
+        snaps = [json.loads(p.read_text()) for p in ms]
+        cut = None
+        for i in range(len(snaps) - 1, -1, -1):
+            if snaps[i].get("operation") == "replace":
+                cut = i
+                break
+        if cut is None or cut == 0:
+            return {"expired": 0, "removed_dirs": 0}
+        keep_dirs = {s["data_dir"] for s in snaps[cut:]}
+        # fold the expired snapshots' input-file lineage into the
+        # surviving replace manifest FIRST (atomic tmp+rename), so
+        # processed_inputs() — the resume checkpoint — is invariant
+        # under expiry and a restarted job never re-ingests inputs
+        # whose manifests were garbage-collected
+        inherited = sorted(
+            {f for s in snaps[: cut + 1] for f in s["input_files"]}
+        )
+        if inherited != snaps[cut]["input_files"]:
+            snaps[cut]["input_files"] = inherited
+            tmp = ms[cut].with_name(f".tmp-expire-{snaps[cut]['snapshot_id']}")
+            tmp.write_text(json.dumps(snaps[cut], indent=2))
+            os.replace(tmp, ms[cut])
+        expired = 0
+        removed = 0
+        # manifests first (readers resolve via manifests, so once these
+        # are gone the data dirs are unreachable), then the orphan dirs
+        for p, s in zip(ms[:cut], snaps[:cut]):
+            p.unlink()
+            expired += 1
+        for s in snaps[:cut]:
+            d = pathlib.Path(s["data_dir"])
+            if s["data_dir"] not in keep_dirs and d.exists():
+                shutil.rmtree(d)
+                removed += 1
+        return {"expired": expired, "removed_dirs": removed}
+
     # -------------------------------------------------------------- resume
 
     def processed_inputs(self) -> set[str]:

@@ -166,3 +166,34 @@ def sink_compact(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
     )
+
+
+@register(
+    "sink_expire_snapshots",
+    """
+    SELECT source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source
+    """,
+)
+def sink_expire_snapshots(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot expiry (Iceberg's expire_snapshots) under the value-hash
+    check: four fragment appends are compacted into a REPLACE snapshot,
+    the superseded fragments are physically garbage-collected (manifests
+    AND data dirs — asserted inside the query so a silent no-op GC fails
+    the driver row), one more append lands after expiry, and the final
+    aggregation must still equal the oracle over the original fixture —
+    i.e. storage reclaim changed nothing logical."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_expire_"))
+    docs = load(spark, sf, "documents")
+    for i in range(4):
+        cat.append(docs.where(F.col("doc_id") % 5 == i))
+    cat.compact(spark, target_files=2)
+    stats = cat.expire_snapshots()
+    if stats != {"expired": 4, "removed_dirs": 4}:
+        raise AssertionError(f"expiry did not GC the fragments: {stats}")
+    cat.append(docs.where(F.col("doc_id") % 5 == 4))
+    return (
+        cat.read(spark)
+        .groupBy("source")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+    )

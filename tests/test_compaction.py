@@ -80,3 +80,41 @@ def test_append_after_compaction_unions_with_replace(spark, cat):
     cat.compact(spark, target_files=1)
     assert cat.read(spark).count() == n0 + 1
     assert len(_data_files(cat, cat.read(spark))) <= 1
+
+
+def test_expire_reclaims_storage_but_not_state(spark, cat):
+    want = sorted(r.doc_id for r in cat.read(spark).collect())
+    s2 = cat.snapshots()[1]["snapshot_id"]
+    cat.compact(spark, target_files=1)
+    n_dirs_before = len(list((pathlib.Path(cat.root) / "data").iterdir()))
+
+    stats = cat.expire_snapshots()
+    assert stats == {"expired": 4, "removed_dirs": 4}
+    n_dirs_after = len(list((pathlib.Path(cat.root) / "data").iterdir()))
+    assert n_dirs_after == n_dirs_before - 4
+    # current state untouched, time travel to expired snapshots gone
+    assert sorted(r.doc_id for r in cat.read(spark).collect()) == want
+    with pytest.raises(KeyError):
+        cat.read(spark, s2)
+    # idempotent: a second expiry has nothing to do
+    assert cat.expire_snapshots() == {"expired": 0, "removed_dirs": 0}
+
+
+def test_expire_without_compaction_is_a_noop(spark, cat):
+    assert cat.expire_snapshots() == {"expired": 0, "removed_dirs": 0}
+    assert len(cat.snapshots()) == 4
+
+
+def test_expire_preserves_resume_lineage(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    c.append(docs.where(F.col("doc_id") % 2 == 0), input_files=["in/a", "in/b"])
+    c.append(docs.where(F.col("doc_id") % 2 == 1), input_files=["in/c"])
+    before = c.processed_inputs()
+    c.compact(spark, target_files=1)
+    c.expire_snapshots()
+    # the resume checkpoint must survive manifest GC or a restarted job
+    # would re-ingest already-processed inputs
+    assert c.processed_inputs() == before == {"in/a", "in/b", "in/c"}
