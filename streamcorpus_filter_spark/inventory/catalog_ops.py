@@ -197,3 +197,27 @@ def sink_expire_snapshots(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
     )
+
+
+@register(
+    "scan_schema_evolution",
+    """
+    SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+    FROM documents
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution across snapshots (Iceberg add-column): the base
+    snapshot is written WITHOUT the lang column, a later append carries
+    it, and a single read must union the chain with the old rows NULL in
+    the new column — no rewrite of existing data, which is the property
+    that makes adding a column to a 100 TB table an O(metadata) change.
+    The oracle recomputes the expected NULL pattern from the fixture."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_evol_"))
+    docs = load(spark, sf, "documents")
+    cat.append(docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars"))
+    cat.append(
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang")
+    )
+    return cat.read(spark).select("doc_id", "n_chars", "lang")

@@ -118,3 +118,21 @@ def test_expire_preserves_resume_lineage(spark, tmp_path):
     # the resume checkpoint must survive manifest GC or a restarted job
     # would re-ingest already-processed inputs
     assert c.processed_inputs() == before == {"in/a", "in/b", "in/c"}
+
+
+def test_schema_evolution_nulls_old_rows(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    c.append(docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars"))
+    c.append(
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang")
+    )
+    out = {r.doc_id: r for r in c.read(spark).collect()}
+    want = {r.doc_id: r for r in docs.collect()}
+    assert set(out) == set(want)
+    for doc_id, r in out.items():
+        assert r.n_chars == want[doc_id].n_chars
+        if doc_id % 2 == 0:
+            assert r.lang is None          # pre-evolution rows: NULL
+        else:
+            assert r.lang == want[doc_id].lang
