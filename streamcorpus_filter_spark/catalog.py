@@ -243,6 +243,33 @@ class SnapshotCatalog:
             return self.read(spark).limit(0)
         return self._read_snapshots(spark, new)
 
+    def upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: list[str],
+        *,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Copy-on-write MERGE (Iceberg's ``MERGE INTO ... WHEN MATCHED
+        UPDATE WHEN NOT MATCHED INSERT``): rows of the current state whose
+        ``key`` collides with ``updates`` are replaced, everything else is
+        carried forward, new keys are inserted — committed as one REPLACE
+        snapshot, so time travel still sees the pre-merge rows and
+        incremental consumers are not flooded by the rewrite.
+
+        Plan shape: anti-join current-state-vs-updates on the key + one
+        unionByName — at scale the anti-join broadcasts when the update
+        batch is small (the re-crawl case) and shuffles on the uniform
+        key hash otherwise. A real Iceberg MERGE additionally rewrites
+        only the TOUCHED files; this seam rewrites the table (documented
+        coarseness of the emulation, same commit semantics)."""
+        current = self.read(spark)
+        merged = current.join(updates, on=key, how="left_anti").unionByName(
+            updates
+        )
+        return self.append(merged, metrics=metrics, operation="replace")
+
     # ----------------------------------------------------------- maintenance
 
     def expire_snapshots(self) -> dict:

@@ -221,3 +221,46 @@ def scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang")
     )
     return cat.read(spark).select("doc_id", "n_chars", "lang")
+
+
+@register(
+    "sink_upsert",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+             AS n_chars,
+           CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang
+    FROM documents
+    WHERE doc_id % 11 <> 0
+    UNION ALL
+    SELECT doc_id + 9000000 AS doc_id,
+           CAST(1 AS BIGINT) AS n_chars, 'xx' AS lang
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def sink_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-on-write MERGE under the value-hash check: the table is
+    seeded with most of the fixture (doc_id % 11 != 0 across two
+    appends), then a re-crawl batch upserts every doc_id % 7 == 0 row
+    (n_chars + 1000, lang 'xx') and inserts brand-new +9M ids — matched
+    keys must be REPLACED (not duplicated), unmatched rows carried
+    forward untouched, new keys appended, all as one REPLACE commit the
+    oracle recomputes with CASE arms over the original fixture."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_upsert_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+    seeded = docs.where(F.col("doc_id") % 11 != 0)
+    cat.append(seeded.where(F.col("doc_id") % 2 == 0))
+    cat.append(seeded.where(F.col("doc_id") % 2 == 1))
+    updates = seeded.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        F.lit("xx").alias("lang"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"),
+            F.lit(1).cast("long").alias("n_chars"),
+            F.lit("xx").alias("lang"),
+        )
+    )
+    cat.upsert(spark, updates, ["doc_id"])
+    return cat.read(spark)

@@ -227,7 +227,7 @@ RUN_ORDER = [
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
     "scan_csv", "scan_json", "scan_iceberg_incremental", "sink_compact",
-    "sink_expire_snapshots", "scan_schema_evolution",
+    "sink_expire_snapshots", "scan_schema_evolution", "sink_upsert",
     "dedup_cluster_components",
     "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
     "stream_session_window", "stream_dedup_watermark",

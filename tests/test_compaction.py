@@ -136,3 +136,30 @@ def test_schema_evolution_nulls_old_rows(spark, tmp_path):
             assert r.lang is None          # pre-evolution rows: NULL
         else:
             assert r.lang == want[doc_id].lang
+
+
+def test_upsert_replaces_matched_inserts_new_keeps_history(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    s1 = c.append(docs)["snapshot_id"]
+    n0 = docs.count()
+
+    updates = spark.createDataFrame(
+        [(0, 111_111), (1, 222_222), (9_000_000, 1)],
+        "doc_id bigint, n_chars bigint",
+    )
+    c.upsert(spark, updates, ["doc_id"])
+
+    out = {r.doc_id: r.n_chars for r in c.read(spark).collect()}
+    assert len(out) == n0 + 1                      # 2 replaced, 1 inserted
+    assert out[0] == 111_111 and out[1] == 222_222
+    assert out[9_000_000] == 1
+    want = {r.doc_id: r.n_chars for r in docs.collect()}
+    for doc_id, n in want.items():
+        if doc_id not in (0, 1):
+            assert out[doc_id] == n                # carried forward
+    # pre-merge state still readable (REPLACE commit, not overwrite)
+    old = {r.doc_id: r.n_chars for r in c.read(spark, s1).collect()}
+    assert old == want
