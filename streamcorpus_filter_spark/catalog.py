@@ -38,6 +38,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentRewriteError(RuntimeError):
+    """A replace/merge commit found its base snapshot superseded by a
+    concurrent writer; committing anyway would silently drop the
+    concurrent changes (lost update). Re-derive the rewrite from the new
+    state and retry."""
+
+
 class SnapshotCatalog:
     """A single logical table rooted at ``root``.
 
@@ -76,6 +83,7 @@ class SnapshotCatalog:
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
         operation: str = "append",
+        expected_parent: str | None = None,
     ) -> dict:
         """Write ``df`` as a new snapshot; returns the manifest dict.
 
@@ -87,6 +95,14 @@ class SnapshotCatalog:
         ``operation`` is "append" (new logical rows) or "replace" (the
         snapshot's data dir holds the ENTIRE table state as of commit —
         Iceberg's rewrite_data_files REPLACE commit; see compact()).
+
+        ``expected_parent`` pins the commit's base: if another writer
+        commits first, this commit FAILS with ConcurrentRewriteError
+        instead of retrying — required for replace/merge commits, whose
+        payload was derived from the base state (blind re-parenting
+        would silently drop the concurrent append: a lost update). This
+        is Iceberg's serializable commit validation. Plain appends leave
+        it None and re-parent freely (their rows conflict with nothing).
         """
         snap_id = uuid.uuid4().hex[:16]
         data_dir = self.root / "data" / snap_id
@@ -123,6 +139,15 @@ class SnapshotCatalog:
         tmp = self.root / "snapshots" / f".tmp-{snap_id}"
         try:
             for _attempt in range(100):
+                if expected_parent is not None and (
+                    parent is None or parent["snapshot_id"] != expected_parent
+                ):
+                    raise ConcurrentRewriteError(
+                        f"base snapshot moved: expected {expected_parent!r}, "
+                        f"latest is "
+                        f"{parent['snapshot_id'] if parent else None!r} — "
+                        "re-run the rewrite against the new state"
+                    )
                 manifest["sequence"] = seq
                 manifest["parent_id"] = parent["snapshot_id"] if parent else None
                 tmp.write_text(json.dumps(manifest, indent=2))
@@ -165,9 +190,18 @@ class SnapshotCatalog:
 
         At 100 TB compaction is the maintenance job that keeps scan task
         counts sane after many small streaming/resume appends; here it is
-        one ``coalesce`` (no shuffle — it only merges splits) per call."""
+        one ``coalesce`` (no shuffle — it only merges splits) per call.
+
+        Raises ConcurrentRewriteError if another writer commits between
+        reading the state and committing the rewrite (lost-update guard)."""
+        base = self.latest_snapshot()
         current = self.read(spark).coalesce(target_files)
-        return self.append(current, metrics=metrics, operation="replace")
+        return self.append(
+            current,
+            metrics=metrics,
+            operation="replace",
+            expected_parent=base["snapshot_id"] if base else None,
+        )
 
     # ---------------------------------------------------------------- read
 
@@ -263,12 +297,20 @@ class SnapshotCatalog:
         batch is small (the re-crawl case) and shuffles on the uniform
         key hash otherwise. A real Iceberg MERGE additionally rewrites
         only the TOUCHED files; this seam rewrites the table (documented
-        coarseness of the emulation, same commit semantics)."""
+        coarseness of the emulation, same commit semantics). Raises
+        ConcurrentRewriteError if another writer commits underneath the
+        merge (lost-update guard)."""
+        base = self.latest_snapshot()
         current = self.read(spark)
         merged = current.join(updates, on=key, how="left_anti").unionByName(
             updates
         )
-        return self.append(merged, metrics=metrics, operation="replace")
+        return self.append(
+            merged,
+            metrics=metrics,
+            operation="replace",
+            expected_parent=base["snapshot_id"] if base else None,
+        )
 
     # ----------------------------------------------------------- maintenance
 

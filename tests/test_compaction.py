@@ -163,3 +163,31 @@ def test_upsert_replaces_matched_inserts_new_keeps_history(spark, tmp_path):
     # pre-merge state still readable (REPLACE commit, not overwrite)
     old = {r.doc_id: r.n_chars for r in c.read(spark, s1).collect()}
     assert old == want
+
+
+def test_concurrent_append_fails_the_rewrite(spark, tmp_path):
+    """Lost-update guard: a REPLACE commit whose base moved (another
+    writer appended between the rewrite's read and its commit) must FAIL
+    loudly, never blindly re-parent — re-parenting would publish a table
+    state that silently drops the concurrent append."""
+    from streamcorpus_filter_spark.catalog import ConcurrentRewriteError
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    c.append(docs)
+    stale = c.latest_snapshot()["snapshot_id"]
+    extra = spark.createDataFrame(
+        [(10_000_003, 9)], "doc_id bigint, n_chars bigint"
+    )
+    c.append(extra)  # the "concurrent" writer wins the race
+    with pytest.raises(ConcurrentRewriteError):
+        c.append(
+            docs.coalesce(1), operation="replace", expected_parent=stale
+        )
+    # the failed rewrite published nothing: both rows sets intact
+    assert c.read(spark).count() == docs.count() + 1
+    # and a fresh rewrite (current base) succeeds
+    c.compact(spark, target_files=1)
+    assert c.read(spark).count() == docs.count() + 1
