@@ -92,9 +92,12 @@ class SnapshotCatalog:
         no manifest references (readers never see partial output), which
         is the same commit protocol Iceberg uses (metadata swap last).
 
-        ``operation`` is "append" (new logical rows) or "replace" (the
-        snapshot's data dir holds the ENTIRE table state as of commit —
-        Iceberg's rewrite_data_files REPLACE commit; see compact()).
+        ``operation`` is "append" (new logical rows), "replace" (pure
+        rewrite: the snapshot's data dir holds the ENTIRE table state as
+        of commit with unchanged logical content — Iceberg's
+        rewrite_data_files; see compact()), or "merge" (full-state
+        rewrite WITH content changes — upsert(); incremental scans
+        refuse to cross it).
 
         ``expected_parent`` pins the commit's base: if another writer
         commits first, this commit FAILS with ConcurrentRewriteError
@@ -216,14 +219,18 @@ class SnapshotCatalog:
                 return out
         raise KeyError(f"unknown snapshot {snapshot_id!r}")
 
-    @staticmethod
-    def _from_last_replace(chain: list[dict]) -> list[dict]:
-        """Cut the chain at its most recent REPLACE snapshot: that
-        snapshot's data dir holds the whole table state at its commit, so
-        everything older is superseded (exactly how an Iceberg reader
-        resolves a rewrite)."""
+    # operations whose data dir holds the ENTIRE table state at commit,
+    # superseding every older snapshot on the read path
+    _REWRITE_OPS = ("replace", "merge")
+
+    @classmethod
+    def _from_last_replace(cls, chain: list[dict]) -> list[dict]:
+        """Cut the chain at its most recent rewrite (replace/merge)
+        snapshot: that snapshot's data dir holds the whole table state at
+        its commit, so everything older is superseded (exactly how an
+        Iceberg reader resolves a rewrite)."""
         for i in range(len(chain) - 1, -1, -1):
-            if chain[i].get("operation") == "replace":
+            if chain[i].get("operation") in cls._REWRITE_OPS:
                 return chain[i:]
         return chain
 
@@ -265,14 +272,23 @@ class SnapshotCatalog:
         seen = [s["snapshot_id"] for s in chain]
         if after_snapshot_id not in seen:
             raise KeyError(f"unknown snapshot {after_snapshot_id!r}")
+        tail = chain[seen.index(after_snapshot_id) + 1 :]
         # REPLACE snapshots rewrite existing rows, never add logical rows:
         # an incremental (CDC-style) consumer must skip them or it would
-        # re-see every pre-compaction row as "new"
-        new = [
-            s
-            for s in chain[seen.index(after_snapshot_id) + 1 :]
-            if s.get("operation") != "replace"
-        ]
+        # re-see every pre-compaction row as "new". MERGE snapshots DO
+        # change logical content (updates + inserts folded into a full
+        # rewrite), so an append-scan over them is undefined — fail the
+        # way Iceberg's incremental scan fails on overwrite snapshots
+        # rather than silently dropping the merged rows.
+        for s in tail:
+            if s.get("operation") == "merge":
+                raise ValueError(
+                    f"incremental scan crosses merge snapshot "
+                    f"{s['snapshot_id']!r}: upserted rows are not "
+                    "representable as an append delta — re-read the full "
+                    "table or consume from after the merge"
+                )
+        new = [s for s in tail if s.get("operation") != "replace"]
         if not new:
             return self.read(spark).limit(0)
         return self._read_snapshots(spark, new)
@@ -308,20 +324,20 @@ class SnapshotCatalog:
         return self.append(
             merged,
             metrics=metrics,
-            operation="replace",
+            operation="merge",
             expected_parent=base["snapshot_id"] if base else None,
         )
 
     # ----------------------------------------------------------- maintenance
 
     def expire_snapshots(self) -> dict:
-        """Expire every snapshot superseded by the latest REPLACE commit
-        (Iceberg's ``expire_snapshots``): their manifests are removed and
-        any data dir no longer referenced by a surviving manifest is
-        deleted. Time travel to expired snapshots stops working — by
-        design; that is the storage-reclaim trade — while the current
-        state and post-replace increments are untouched. No-op if the
-        table has never been compacted.
+        """Expire every snapshot superseded by the latest rewrite
+        (replace/merge) commit (Iceberg's ``expire_snapshots``): their
+        manifests are removed and any data dir no longer referenced by a
+        surviving manifest is deleted. Time travel to expired snapshots
+        stops working — by design; that is the storage-reclaim trade —
+        while the current state and post-rewrite increments are
+        untouched. No-op if the table has never been rewritten.
 
         Returns ``{"expired": n_manifests, "removed_dirs": n_dirs}``."""
         import shutil
@@ -330,7 +346,7 @@ class SnapshotCatalog:
         snaps = [json.loads(p.read_text()) for p in ms]
         cut = None
         for i in range(len(snaps) - 1, -1, -1):
-            if snaps[i].get("operation") == "replace":
+            if snaps[i].get("operation") in self._REWRITE_OPS:
                 cut = i
                 break
         if cut is None or cut == 0:

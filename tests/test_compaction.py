@@ -191,3 +191,26 @@ def test_concurrent_append_fails_the_rewrite(spark, tmp_path):
     # and a fresh rewrite (current base) succeeds
     c.compact(spark, target_files=1)
     assert c.read(spark).count() == docs.count() + 1
+
+
+def test_incremental_refuses_to_cross_a_merge(spark, tmp_path):
+    """Compaction is invisible to CDC consumers (skipped), but a MERGE
+    changes logical content — an incremental scan across it must raise
+    (Iceberg's behavior on overwrite snapshots), never silently drop the
+    upserted rows."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    s1 = c.append(docs)["snapshot_id"]
+    updates = spark.createDataFrame(
+        [(0, 111_111)], "doc_id bigint, n_chars bigint"
+    )
+    m = c.upsert(spark, updates, ["doc_id"])
+    with pytest.raises(ValueError, match="merge snapshot"):
+        c.read_incremental(spark, s1)
+    # consuming from AFTER the merge works, and the merge supersedes
+    # the base on the plain read path
+    assert c.read_incremental(spark, m["snapshot_id"]).count() == 0
+    out = {r.doc_id: r.n_chars for r in c.read(spark).collect()}
+    assert out[0] == 111_111 and len(out) == docs.count()
