@@ -673,6 +673,42 @@ def window_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "window_percent_dist",
+    """
+    SELECT o_orderkey,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-distribution window functions: percent_rank ((rank-1)/(N-1))
+    and cume_dist (rows-at-or-before / N) — the percentile-position
+    primitives quality-score calibration uses to turn raw scores into
+    corpus-relative positions. Values are floored to integer micro-units
+    because the raw doubles ARE bit-identical across engines (same IEEE
+    division), but floor() is the only rounding both engines agree on
+    (round() half-mode differs); the tie-free ORDER BY makes the ranks
+    deterministic.
+
+    Scale shape: one hash shuffle on the partition key + per-partition
+    external sort, same cost envelope as any ranking window."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.percent_rank().over(w) * 1_000_000)
+        .cast("bigint")
+        .alias("pr_micro"),
+        F.floor(F.cume_dist().over(w) * 1_000_000)
+        .cast("bigint")
+        .alias("cd_micro"),
+    )
+
+
+@register(
     "window_lag_lead",
     """
     SELECT event_id,

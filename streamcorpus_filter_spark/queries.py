@@ -224,6 +224,7 @@ RUN_ORDER = [
     "txt_doc_chunk", "ql_dsir_importance", "emb_pq_quantize",
     "ql_domain_blocklist", "dedup_substring_spans",
     "ql_host_cap", "ql_hash_split", "ql_threshold_sweep",
+    "window_percent_dist",
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
     "scan_csv", "scan_json", "scan_iceberg_incremental", "sink_compact",
