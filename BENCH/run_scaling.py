@@ -198,8 +198,8 @@ oracle through extract -> rules -> langid -> perplexity -> entity match
 Standing gate: `pytest -m scale10x` re-runs every documents/embeddings
 query against DuckDB at sf0.1 (10x contract scale; sim_ivf_topk's
 contract-scale-only oracle is the one allowed exception). Per-round
-record: round 2 = 104/105; round 3 = green at 126 registered queries
-(292 s wall, local[8]).
+record: round 2 = 104/105; round 3 = green at 127 registered queries
+(265 s wall, local[8]).
 
 ## Headline bench (driver-run per round)
 
