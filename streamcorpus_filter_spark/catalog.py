@@ -145,6 +145,14 @@ class SnapshotCatalog:
                 if expected_parent is not None and (
                     parent is None or parent["snapshot_id"] != expected_parent
                 ):
+                    # the data dir was already written but no manifest will
+                    # ever reference it — without this cleanup every lost
+                    # rewrite race leaks a TABLE-SIZED orphan dir (compact/
+                    # upsert payloads are full table copies) that
+                    # expire_snapshots can never GC (it only walks
+                    # manifest-referenced dirs). Safe to delete: the commit
+                    # failed, so no reader can have resolved this dir.
+                    self._discard_uncommitted(data_dir)
                     raise ConcurrentRewriteError(
                         f"base snapshot moved: expected {expected_parent!r}, "
                         f"latest is "
@@ -162,6 +170,7 @@ class SnapshotCatalog:
                     seq = (parent["sequence"] + 1) if parent else seq + 1
                     continue
                 return manifest
+            self._discard_uncommitted(data_dir)  # same orphan-dir hazard
             raise RuntimeError(
                 "snapshot commit contention: 100 retries exhausted"
             )
@@ -171,6 +180,15 @@ class SnapshotCatalog:
             # readers (dot-files fall outside the *.json glob) but would
             # accumulate in snapshots/ across driver runs
             tmp.unlink(missing_ok=True)
+
+    @staticmethod
+    def _discard_uncommitted(data_dir: pathlib.Path) -> None:
+        """Remove a data dir whose commit failed (never referenced by any
+        manifest). Best-effort: a half-removed orphan is still an orphan,
+        and the commit error must propagate regardless."""
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
 
     def compact(
         self,
@@ -315,7 +333,24 @@ class SnapshotCatalog:
         only the TOUCHED files; this seam rewrites the table (documented
         coarseness of the emulation, same commit semantics). Raises
         ConcurrentRewriteError if another writer commits underneath the
-        merge (lost-update guard)."""
+        merge (lost-update guard), and ValueError if ``updates`` carries
+        duplicate keys — Iceberg MERGE INTO errors when a target row
+        matches multiple source rows, and silently inserting both copies
+        (what the anti-join + union would otherwise do) diverges from
+        that contract."""
+        dup = (
+            updates.groupBy(*key)
+            .count()
+            .where("count > 1")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"upsert: updates contain duplicate keys on {key} — "
+                "Iceberg MERGE INTO rejects multi-source-row matches; "
+                "dedupe the update batch first"
+            )
         base = self.latest_snapshot()
         current = self.read(spark)
         merged = current.join(updates, on=key, how="left_anti").unionByName(
@@ -338,6 +373,18 @@ class SnapshotCatalog:
         stops working — by design; that is the storage-reclaim trade —
         while the current state and post-rewrite increments are
         untouched. No-op if the table has never been rewritten.
+
+        Concurrency contract (maintenance-window operation): unlike
+        ``append``, expiry has NO optimistic-commit guard — it unlinks
+        manifests and data dirs in place, so a concurrent expiry can race
+        its glob/read_text (FileNotFoundError) and an in-flight read plan
+        streaming from a superseded snapshot's files can lose them
+        mid-scan. Run it from the single maintenance driver while no
+        time-travel readers are active — the same operational assumption
+        Iceberg documents for ``expire_snapshots`` (it, too, breaks
+        readers pinned to expired snapshots; its metadata swap is atomic
+        but file deletes are not). Appends/rewrites racing an expiry are
+        safe: they only ever create new sequence numbers.
 
         Returns ``{"expired": n_manifests, "removed_dirs": n_dirs}``."""
         import shutil

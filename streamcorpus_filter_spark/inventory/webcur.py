@@ -175,12 +175,22 @@ def ql_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     corpus (twins repeat their original's first 40 words = 3+ full
     lines) so the rule demonstrably fires.
 
-    Scale shape: ONE corpus-sized shuffle keyed by the line itself
-    (uniform after hashing — at 10^12 docs the key becomes xxhash64 of
-    the line, 8 bytes, same semantics), a window min instead of a
-    groupBy + join-back (one exchange, not three), then a per-doc
-    reassembly shuffle carrying only surviving lines. This is exactly
-    how C4's three-sentence-span rule is run at crawl scale."""
+    Scale shape (de-skewed in round 4, VERDICT r3 item 3): the previous
+    `row_number() OVER (PARTITION BY line)` sorted every copy of a line
+    in ONE reducer — and line frequency on a real crawl is Zipfian, so
+    one hot boilerplate line ("Home", a cookie banner) meant a single
+    reducer sorting billions of rows; hashing never splits EQUAL keys,
+    so the old "uniform after hashing" claim was wrong for identical
+    lines. Since only the first occurrence survives, the survivor is
+    fully determined by `groupBy(line).agg(min(struct(doc_id,
+    line_no)))` — a MAP-SIDE-COMBINABLE partial min that collapses a
+    hot line to one row per map task before the shuffle, so the reducer
+    receives at most num_map_tasks rows per line no matter how hot it
+    is, and no join-back is needed (the agg row IS the surviving line).
+    Then one per-doc reassembly shuffle carrying only surviving lines.
+    Guarded by test_line_dedup_has_no_window (zero Window operators in
+    the plan). At 10^12 docs the group key becomes xxhash64 of the
+    line, 8 bytes, same semantics."""
     t = twinned(spark, sf, load)
     toks = F.filter(F.split("text", "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != "")
     base = t.select("doc_id", toks.alias("toks"))
@@ -204,11 +214,15 @@ def ql_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", "l.line_no", "l.line")
     )
-    rn = F.row_number().over(Window.partitionBy("line").orderBy("doc_id", "line_no"))
+    # first occurrence per distinct line — partial-min combines map-side,
+    # and the agg row carries everything the survivor needs (no join-back)
+    firsts = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("f"))
+        .select(F.col("f.doc_id").alias("doc_id"), F.col("f.line_no").alias("line_no"), "line")
+    )
     kept = (
-        lines.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .groupBy("doc_id")
+        firsts.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_kept"),
             F.array_join(
@@ -771,9 +785,14 @@ def ql_domain_blocklist(spark: SparkSession, sf: str) -> DataFrame:
 
 # hashed fixed-width token windows (W=8, stride 4): the distributable
 # approximation of ExactSubstr dedup (Lee et al. 2022 use a suffix
-# array, which is single-machine; stride-S windows guarantee any
-# duplicated run of >= W + S - 1 tokens contains an aligned window on
-# both copies)
+# array, which is single-machine). Recall caveat (ADVICE r3): a
+# duplicated run of >= W + S - 1 tokens is guaranteed to contain a
+# window match ONLY when the two copies' run offsets agree mod S
+# (whole-doc copies, same-offset template reuse); phase-misaligned
+# copies can be missed at any run length because the stride-aligned
+# window positions fall in disjoint residue classes. Don't size W/S
+# off an unconditional-recall assumption — S=1 (full overlap) is the
+# only stride with one.
 _SPAN_W = 8
 _SPAN_STRIDE = 4
 
@@ -817,13 +836,23 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     Per doc: total windows, duplicated windows, and dup_permille, the
     integer-exact duplication ratio a curation gate thresholds on.
 
-    Scale shape: stride caps the explode factor at n_tokens/4 rows per
-    doc; the only shuffles are ONE exchange on the uniform 128-bit
-    window hash (window count(*) instead of groupBy + join-back — one
-    exchange, not three) and the per-doc rollup. At 10^12 docs the hash
-    becomes xxhash64 (8 bytes) and the span stream is exactly the
-    MinHash explode shape the cluster already handles; no driver state,
-    no skew (hashes are uniform by construction)."""
+    Scale shape (de-skewed in round 4, VERDICT r3 item 4): stride caps
+    the explode factor at n_tokens/4 rows per doc; the only shuffles
+    are ONE exchange on the uniform 128-bit window hash (window
+    count(*) instead of groupBy + join-back — one exchange, not three),
+    the per-doc rollup, and a join back to the doc list to restore
+    span-less docs. Span hashes are uniform by construction, but the
+    previous shape fed docs shorter than W tokens through
+    `explode_outer` as NULL hashes — at crawl scale (billions of short
+    docs: stubs, redirects, soft-404s) that made the NULL window
+    partition a single-reducer giant. Now short docs produce NO span
+    rows at all (plain explode over an empty offset array) and re-enter
+    only at the per-doc rollup via a left join on the unique doc_id,
+    contributing n_spans = 0 by construction — so every row that
+    reaches the window carries a real uniform hash. Guarded by
+    test_substring_spans_no_null_window. At 10^12 docs the hash becomes
+    xxhash64 (8 bytes) and the span stream is exactly the MinHash
+    explode shape the cluster already handles; no driver state."""
     d = load(spark, sf, "documents")
     toks = F.filter(
         F.split(F.lower("text"), "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != ""
@@ -835,31 +864,38 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0), F.size("toks") - _SPAN_W, F.lit(_SPAN_STRIDE)
         ),
     ).otherwise(F.array().cast("array<int>"))
+    # plain explode: docs under _SPAN_W tokens emit ZERO span rows (the
+    # offset array is empty) instead of one NULL-hash row — no NULL key
+    # ever reaches the window partitioning
     spans = base.select(
         "doc_id",
-        F.explode_outer(offs).alias("o"),
+        F.explode(offs).alias("o"),
         "toks",
     ).select(
         "doc_id",
-        F.when(
-            F.col("o").isNotNull(),
-            F.md5(
-                F.concat_ws(
-                    "\x1f", F.slice("toks", F.col("o") + 1, _SPAN_W)
-                )
-            ),
+        F.md5(
+            F.concat_ws("\x1f", F.slice("toks", F.col("o") + 1, _SPAN_W))
         ).alias("h"),
     )
     c = spans.withColumn(
         "c", F.count("*").over(Window.partitionBy("h"))
     )
-    dup = F.sum(
-        F.when(F.col("h").isNotNull() & (F.col("c") > 1), 1).otherwise(0)
+    per_doc = c.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_spans"),
     )
-    n = F.count("h")
+    # restore span-less (short) docs with zero counts; doc_id is unique,
+    # so this is a 1:1 equi-join, not a fan-out
     return (
-        c.groupBy("doc_id")
-        .agg(n.alias("n_spans"), dup.cast("bigint").alias("n_dup_spans"))
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
         # integer DIV on both engines (a double `/` + CAST truncates the
         # FP approximation and can land one below the exact quotient)
         .withColumn(

@@ -198,31 +198,38 @@ from .inventory import (  # noqa: E402,F401
 # --------------------------------------------------------------------------
 
 # Driver run order (the driver iterates queries() in dict order and may
-# time-box out — r01 attested the first 50 of 89, r02 the first 50 of
-# 106). ROTATED for round 3 per VERDICT.md task 1: the 11 kernels that
-# were red in r01 (since fixed, judge-verified green, but never
-# re-attested by a driver row) run FIRST, then the 23 queries the
-# driver has never sampled at all (streaming, UDF surface, round-2
-# additions), then the 72 queries already green in CORRECTNESS_r01/r02
-# — so a time-box cuts rows the record already shows green, not the
-# ones it still shows red. Anything registered but not listed is
-# appended in registration order (tests/test_plan_quality.py covers the
-# full registry regardless).
+# time-box out — r01/r02/r03 each attested the first 50). ROTATED for
+# round 4 per VERDICT.md task 1: the ONLY registered queries without a
+# green driver row across r01-r03 are the 5 streaming entries that sat
+# at RUN_ORDER 51+ in round 3 — they run FIRST so CORRECTNESS_r04
+# closes the cumulative record. Next come the queries whose
+# implementation CHANGED this round (de-skewed ql_line_dedup /
+# dedup_substring_spans, the recomputable-oracle sim_ivf_topk rewrite)
+# plus the round-4 additions — all need fresh attestation. Everything
+# after position ~15 is already green in r01/r02/r03 on unchanged code,
+# so a time-box cuts rows the record already shows green. Anything
+# registered but not listed is appended in registration order
+# (tests/test_plan_quality.py covers the full registry regardless).
 RUN_ORDER = [
-    # -- tier 1: red in CORRECTNESS_r01, fixed, never driver-re-attested
+    # -- tier 1: never driver-attested (RUN_ORDER 51+ in r03's time-box)
+    "stream_session_window", "stream_dedup_watermark",
+    "stream_stateful_counts", "stream_sink_checkpoint",
+    "stream_flagship_filter",
+    # -- tier 2: implementation changed in round 4 (de-skew rewrites,
+    #    any-sf IVF oracle) or newly added in round 4
+    "ql_line_dedup", "dedup_substring_spans", "sim_ivf_topk",
+    # -- tier 3: green in r03, one round old
     "ql_langid", "ql_perplexity", "txt_rolling_fp",
     "mm_decode_features", "mm_resize", "mm_frame_sample",
     "dedup_minhash_lsh", "dedup_simhash",
-    "sim_lsh_bucketed", "sim_ivf_topk", "ql_pipeline_full",
-    # -- tier 2: never driver-sampled (round-2 additions, UDF surface,
-    #    streaming) — cheap JVM ones first within the tier
+    "sim_lsh_bucketed", "ql_pipeline_full",
     "txt_salient_terms", "ql_source_mix", "txt_pack_bins",
     "txt_char_entropy", "curation_pipeline", "ql_boilerplate_scrub",
-    "ql_url_canonicalize", "ql_line_dedup", "dedup_keep_first",
+    "ql_url_canonicalize", "dedup_keep_first",
     "dedup_incremental", "dedup_bloom", "emb_semantic_dedup",
     "lm_train_ngrams",
     "txt_doc_chunk", "ql_dsir_importance", "emb_pq_quantize",
-    "ql_domain_blocklist", "dedup_substring_spans",
+    "ql_domain_blocklist",
     "ql_host_cap", "ql_hash_split", "ql_threshold_sweep",
     "window_percent_dist",
     "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
@@ -231,10 +238,7 @@ RUN_ORDER = [
     "sink_expire_snapshots", "scan_schema_evolution", "sink_upsert",
     "dedup_cluster_components",
     "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
-    "stream_session_window", "stream_dedup_watermark",
-    "stream_stateful_counts", "stream_sink_checkpoint",
-    "stream_flagship_filter",
-    # -- tier 3: already driver-green (r01/r02) — cheap JVM relational
+    # -- tier 4: already driver-green (r01/r02) — cheap JVM relational
     "scan_parquet", "project_select", "project_derived", "filter_predicate",
     "str_funcs", "date_funcs", "math_funcs", "array_funcs", "json_funcs",
     "map_funcs",

@@ -214,3 +214,47 @@ def test_incremental_refuses_to_cross_a_merge(spark, tmp_path):
     assert c.read_incremental(spark, m["snapshot_id"]).count() == 0
     out = {r.doc_id: r.n_chars for r in c.read(spark).collect()}
     assert out[0] == 111_111 and len(out) == docs.count()
+
+
+def test_failed_rewrite_discards_its_orphan_data_dir(spark, tmp_path):
+    """A rewrite that loses the commit race has already written its data
+    dir (a full table copy for compact/upsert) — it must be deleted
+    before the error propagates, or every lost race leaks a table-sized
+    orphan that expire_snapshots can never GC (expiry only walks
+    manifest-referenced dirs)."""
+    from streamcorpus_filter_spark.catalog import ConcurrentRewriteError
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    c.append(docs)
+    stale = c.latest_snapshot()["snapshot_id"]
+    c.append(
+        spark.createDataFrame([(10_000_003, 9)], "doc_id bigint, n_chars bigint")
+    )
+    with pytest.raises(ConcurrentRewriteError):
+        c.append(docs.coalesce(1), operation="replace", expected_parent=stale)
+    referenced = {s["data_dir"] for s in c.snapshots()}
+    on_disk = {str(p) for p in (tmp_path / "tbl" / "data").iterdir()}
+    assert on_disk == referenced, (
+        f"orphan data dirs leaked by failed rewrite: {on_disk - referenced}"
+    )
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    """Iceberg MERGE INTO errors when a target row matches multiple
+    source rows; silently inserting every duplicate (what anti-join +
+    union would do) must raise instead."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    c.append(docs)
+    dup_updates = spark.createDataFrame(
+        [(0, 1), (0, 2)], "doc_id bigint, n_chars bigint"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        c.upsert(spark, dup_updates, key=["doc_id"])
+    # nothing was committed and the table is unchanged
+    assert c.read(spark).count() == docs.count()

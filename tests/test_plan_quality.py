@@ -212,3 +212,46 @@ def test_host_cap_is_salted_two_phase(spark):
     assert plan.count("Window") >= 2, plan
     assert "salt" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_dedup_has_no_window(spark):
+    """ql_line_dedup must not window over the raw line key: line
+    frequency on a real crawl is Zipfian, so `row_number() OVER
+    (PARTITION BY line)` sorts every copy of a hot boilerplate line in
+    ONE reducer (hashing never splits equal keys). The de-skewed shape
+    is a map-side-combinable groupBy(line).min(struct) — zero Window
+    operators anywhere in the plan (reassembly is a groupBy too)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["ql_line_dedup"](spark, SF_SMALL))
+    assert "Window" not in plan, plan
+    # the survivor agg must be a real partial/final hash aggregate
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_substring_spans_no_null_window(spark):
+    """dedup_substring_spans must never feed NULL span hashes into the
+    corpus-wide window: short docs (< W tokens) used to ride through
+    explode_outer as NULL keys, making the NULL window partition a
+    single-reducer giant at crawl scale. The fix uses plain explode
+    (empty offset array => zero span rows) and restores short docs at
+    the per-doc rollup via a 1:1 left join."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_substring_spans"](spark, SF_SMALL)
+    # explode_outer lowers to Generate(<expr>, <req>, outer=true, ...);
+    # the physical plan prints the outer flag as a bare boolean after
+    # the required-columns list — every Generate here must be non-outer
+    # (explain("formatted") elides the flag, so use the raw plan string)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen_lines = [l for l in plan.splitlines() if "Generate explode" in l]
+    assert gen_lines, plan
+    for l in gen_lines:
+        assert ", false, " in l and ", true, " not in l, l
+    # runtime property: short docs are present with zero spans (the
+    # fixture corpus contains docs under 8 tokens), never NULL counts
+    short = df.filter(F.col("n_spans") == 0)
+    assert short.filter(F.col("n_dup_spans") != 0).count() == 0
+    assert df.filter(F.col("n_spans").isNull()).count() == 0
