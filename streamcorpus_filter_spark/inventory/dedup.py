@@ -546,63 +546,133 @@ def sim_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivf_train(emb: "np.ndarray", K: int, seed: int) -> "np.ndarray":
-    """Lloyd k-means on the sample (cosine metric, unit-norm output) —
-    the ONE training routine shared by the Spark query (on the sample it
-    pulls via orderBy/limit) and the oracle builder (on the same rows
-    read straight from the sf0.01 parquet), so the centroids are
-    bit-identical and the oracle can inline them as VALUES."""
-    rng = np.random.RandomState(seed)
-    cent = emb[rng.choice(len(emb), K, replace=False)]
-    for _ in range(8):
-        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-        sn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        assign = (sn @ cn.T).argmax(axis=1)
-        for k in range(K):
+# IVF index constants: K cells, NPROBE probed cells per query, integer
+# milli-unit quantization clamp (same clamp rationale as selection.py's
+# PQ codebook: squared diffs over 64 dims must stay far inside int64 on
+# BOTH engines — DuckDB silently widens to HUGEINT, Spark wraps/errors).
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_ITERS = 2
+IVF_SAMPLE = 2048
+IVF_CLAMP = 1_000_000
+IVF_DIM = 64
+
+_IVF_QUANT_DUCK = (
+    "list_transform(embedding, x -> greatest(least(CAST(floor(CAST(x AS"
+    f" DOUBLE) * 1000) AS BIGINT), {IVF_CLAMP}), -{IVF_CLAMP}))"
+)
+# exact integer squared L2 between two quantized lists (1-based SQL idx)
+_IVF_SQDIST = (
+    "list_sum(list_transform(range(1, {d}), j -> "
+    "({a}[CAST(j AS INT)] - {b}[CAST(j AS INT)])"
+    " * ({a}[CAST(j AS INT)] - {b}[CAST(j AS INT)])))"
+)
+
+
+def _ivf_quant(V: "np.ndarray") -> "np.ndarray":
+    """floor(float64(x) * 1000) clamped — bit-identical to the SQL
+    transform in _IVF_QUANT_DUCK (IEEE double widen + multiply + floor,
+    then greatest/least)."""
+    q = np.floor(V.astype(np.float64) * 1000.0)
+    return np.clip(q, -IVF_CLAMP, IVF_CLAMP).astype(np.int64)
+
+
+def _ivf_sqdist_int(Q: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n, K) exact int64 squared L2: expanded form so the (n, K) matmul
+    does the heavy lifting; identical values to the per-pair sum (all
+    terms exact integers, |q| <= 1e6 so every intermediate < 2^60)."""
+    return (
+        (Q * Q).sum(axis=1, keepdims=True)
+        - 2 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def _ivf_kmeans_int(Qs: "np.ndarray") -> "np.ndarray":
+    """Fixed-iteration Lloyd k-means in EXACT integer arithmetic — the
+    one training routine mirrored verbatim by the oracle's unrolled SQL
+    CTEs, so the codebook is recomputable at ANY sf (this removed the
+    registry's one contract-scale-only oracle, VERDICT r3 task 5):
+      * init: the K smallest-vec_id sample vectors (deterministic seed)
+      * assign: argmin integer squared L2, ties -> smallest k
+        (numpy first-min == SQL row_number ORDER BY d, k)
+      * update: element-wise integer mean via the +CLAMP offset so the
+        numerator is non-negative — DuckDB's // truncates toward zero
+        while Python's floors, and the offset makes them agree
+      * empty cluster: centroid carries over (SQL: coalesce via left join)
+    """
+    C = Qs[:IVF_K].copy()
+    for _ in range(IVF_ITERS):
+        assign = _ivf_sqdist_int(Qs, C).argmin(axis=1)
+        for k in range(IVF_K):
             m = assign == k
             if m.any():
-                cent[k] = emb[m].mean(axis=0)
-    return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+                C[k] = (Qs[m] + IVF_CLAMP).sum(axis=0) // int(m.sum()) - IVF_CLAMP
+    return C
 
 
 def _ivf_oracle() -> str:
-    """The IVF query recomputed in SQL for the driver's sf0.01 check: the
-    k-means centroids are re-trained at registration time from the same
-    2048-row vec_id-ordered sample (read directly from the sf0.01
-    parquet — identical numpy code path, bit-identical centroids) and
-    inlined as DOUBLE-list VALUES; cell assignment, nprobe probing, and
-    the exact-cosine re-rank are then pure SQL. Centroids are unit-norm,
-    so argmax over inner products == argmax over normalized sims."""
-    import pyarrow.parquet as pq
-
-    K, NPROBE, SEED, SAMPLE = 16, 4, 11, 2048
-    tbl = pq.read_table(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
-    tbl = tbl.sort_values("vec_id").head(SAMPLE)
-    samp = np.stack(tbl["embedding"].map(np.asarray)).astype(np.float64)
-    cent = _ivf_train(samp, K, SEED)
-    rows = ", ".join(f"({k}, {_sql_list(cent[k])})" for k in range(K))
-    return f"""
-    WITH cent(k, cv) AS (VALUES {rows}),
-    e AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      FROM embeddings
+    """The IVF query recomputed in SQL at WHATEVER sf the driver mounts:
+    quantization, k-means init + IVF_ITERS unrolled Lloyd iterations
+    (integer means with the +CLAMP offset), cell assignment, nprobe
+    probing, and the exact-cosine re-rank — no constants trained outside
+    the query. Former versions inlined sf0.01-trained float centroids as
+    VALUES, which made the value check contract-scale-only."""
+    d1 = IVF_DIM + 1
+    iters = []
+    for i in range(IVF_ITERS):
+        dist_i = _IVF_SQDIST.format(d=d1, a="s.qe", b="c.cv")
+        iters.append(f"""
+    dist{i} AS (
+      SELECT s.vec_id, c.k, {dist_i} AS d
+      FROM samp s CROSS JOIN cent{i} c
     ),
-    sims AS (
-      SELECT e.vec_id, c.k, list_inner_product(e.emb, c.cv) AS s
-      FROM e CROSS JOIN cent c
+    assign{i} AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+        FROM dist{i}
+      ) WHERE rn = 1
+    ),
+    upd{i} AS (
+      SELECT a.k, r.j,
+             (sum(s.qe[CAST(r.j AS INT)] + {IVF_CLAMP}) // count(*)) - {IVF_CLAMP} AS v
+      FROM assign{i} a
+      JOIN samp s ON s.vec_id = a.vec_id
+      CROSS JOIN range(1, {d1}) r(j)
+      GROUP BY a.k, r.j
+    ),
+    packed{i} AS (SELECT k, list(v ORDER BY j) AS cv FROM upd{i} GROUP BY k),
+    cent{i + 1} AS (
+      SELECT p.k, coalesce(u.cv, p.cv) AS cv
+      FROM cent{i} p LEFT JOIN packed{i} u ON u.k = p.k
+    )""")
+    iter_sql = ",".join(iters)
+    final_dist = _IVF_SQDIST.format(d=d1, a="q.qe", b="c.cv")
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {_IVF_QUANT_DUCK} AS qe FROM embeddings
+    ),
+    samp AS (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {IVF_SAMPLE}),
+    cent0 AS (
+      SELECT rn - 1 AS k, qe AS cv FROM (
+        SELECT qe, row_number() OVER (ORDER BY vec_id) AS rn FROM samp
+      ) WHERE rn <= {IVF_K}
+    ),{iter_sql},
+    cent AS (SELECT k, cv FROM cent{IVF_ITERS}),
+    alldist AS (
+      SELECT q.vec_id, c.k, {final_dist} AS d
+      FROM q CROSS JOIN cent c
     ),
     ranked AS (
-      SELECT vec_id, k, s,
-             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, k) AS rn
-      FROM sims
+      SELECT vec_id, k,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+      FROM alldist
     ),
     cells AS (SELECT vec_id, k AS cell FROM ranked WHERE rn = 1),
     probes AS (
       SELECT vec_id AS query_id, k AS cell FROM ranked
-      WHERE vec_id < 5 AND rn <= {NPROBE}
+      WHERE vec_id < 5 AND rn <= {IVF_NPROBE}
     ),
     cands AS (
       SELECT DISTINCT p.query_id, c.vec_id AS nn_id
@@ -625,50 +695,56 @@ def _ivf_oracle() -> str:
     """
 
 
-@register("sim_ivf_topk")  # oracle registered lazily at module bottom
+@register("sim_ivf_topk", _ivf_oracle())
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means centroids trained driver-side on a
-    bounded sample, broadcast; every corpus vector is assigned to its
-    nearest centroid in one numpy pass; a query probes only its nprobe
-    nearest cells (equi-join on cell id) and exact-cosine re-ranks the
-    candidates. The scale path for 10^9+ vectors: the corpus is hashed
-    once into cell-keyed layout, query cost is ~nprobe/K of a full scan,
-    and the join is an equi-join AQE can plan. pytest checks recall@10
-    vs brute force."""
-    K, NPROBE, SEED, SAMPLE = 16, 4, 11, 2048
+    """IVF (inverted-file) ANN: integer-exact k-means centroids trained
+    driver-side on a bounded vec_id-ordered sample (IVF_SAMPLE rows — at
+    10^12 rows this would be `ORDER BY hash LIMIT n` / reservoir),
+    broadcast; every corpus vector is assigned to its nearest centroid
+    (integer squared-L2 argmin) in one numpy pass; a query probes only
+    its nprobe nearest cells (equi-join on cell id) and exact-cosine
+    re-ranks the candidates. The scale path for 10^9+ vectors: the
+    corpus is hashed once into cell-keyed layout, query cost is
+    ~nprobe/K of a full scan, and the join is an equi-join AQE can plan.
 
+    All index math (quantize, train, assign, probe) is exact int64, so
+    the oracle RECOMPUTES the identical index in SQL at any sf — the
+    candidate sets are bit-equal by construction and only the final
+    re-rank touches floats (rounded, the attested cosine convention).
+    pytest checks recall@10 vs brute force."""
     e = load(spark, sf, "embeddings")
 
-    def _train_centroids() -> np.ndarray:
-        # bounded, deterministic sample to the driver (vec_id order) — at
-        # 10^12 rows this would be `ORDER BY hash LIMIT n` / reservoir.
-        # Training itself is the shared _ivf_train routine (also used by
-        # the oracle builder on the same rows — bit-identical centroids).
+    def _train() -> np.ndarray:
         samp = np.stack(
-            e.orderBy("vec_id").limit(SAMPLE).toPandas()["embedding"].map(np.asarray)
-        ).astype(np.float64)
-        return _ivf_train(samp, K, SEED)
+            e.orderBy("vec_id").limit(IVF_SAMPLE).toPandas()["embedding"].map(np.asarray)
+        )
+        return _ivf_kmeans_int(_ivf_quant(samp))
 
     # the trained index is the IVF artifact: build once per (app, table)
-    bc = cached_broadcast(spark, f"ivf_centroids_{sf}", _train_centroids)
+    bc = cached_broadcast(spark, f"ivf_int_centroids_{sf}", _train)
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = bc.value  # (K, dim), unit norm
+        C = bc.value  # (K, dim) int64
         for pdf in batches:
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            sims = Vn @ C.T  # (n, K)
+            Q = _ivf_quant(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            )
+            cell = _ivf_sqdist_int(Q, C).argmin(axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": sims.argmax(axis=1).astype("int32")}
+                {"vec_id": pdf["vec_id"], "cell": cell.astype("int32")}
             )
 
     def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = bc.value
         for pdf in batches:
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            order = np.argsort(-(Vn @ C.T), axis=1)[:, :NPROBE]  # (n, NPROBE)
-            ids = np.repeat(pdf["vec_id"].to_numpy(), NPROBE)
+            Q = _ivf_quant(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            )
+            # stable sort: ties keep index order == SQL ORDER BY d, k
+            order = np.argsort(
+                _ivf_sqdist_int(Q, C), axis=1, kind="stable"
+            )[:, :IVF_NPROBE]
+            ids = np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE)
             yield pd.DataFrame(
                 {"query_id": ids, "cell": order.ravel().astype("int32")}
             )
@@ -1201,8 +1277,3 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# expensive oracle builders (parquet read + k-means training) run on the
-# first oracle_sql() call, not at import
-from ..queries import ORACLE_LAZY as _OL  # noqa: E402
-
-_OL["sim_ivf_topk"] = _ivf_oracle

@@ -20,8 +20,9 @@ DuckDB oracle that RECOMPUTES the result (no frozen constants):
     (codes = 8 nibbles/vector, a 256x compression of float32[64] — the
     way a 10^12-row ANN index fits in RAM). The codebook is the
     subvectors of the 16 smallest vec_ids, so the DuckDB oracle
-    recomputes codebook AND assignment from the table itself — unlike
-    sim_ivf_topk there is no contract-scale-only caveat.
+    recomputes codebook AND assignment from the table itself — the
+    pattern sim_ivf_topk's integer k-means adopted in round 4 to shed
+    its contract-scale-only caveat.
 
 Engine-portability notes shared by all three:
   * token split uses the pinned ASCII whitespace class (kernels/rules.py

@@ -7,11 +7,10 @@ sequence guards, float-summation drift) can't hide behind the small
 fixture. Opt-in via ``pytest -m scale10x`` (excluded from the default
 run by pytest.ini addopts).
 
-The ONE documented exception: sim_ivf_topk's oracle inlines k-means
-centroids trained on the sf0.01 sample (inventory/dedup.py), so its
-value check is contract-scale-only by design — at other scales Spark
-trains on that scale's sample while the oracle's constants don't move.
-It is asserted to be the ONLY mismatching row, never silently skipped.
+Zero exceptions: round 4 rewrote sim_ivf_topk's index math as exact
+int64 (quantize + fixed-iteration integer k-means mirrored by unrolled
+SQL CTEs), so its oracle recomputes at any sf like every other query —
+the former contract-scale-only carve-out is gone.
 """
 
 from __future__ import annotations
@@ -24,9 +23,7 @@ pytestmark = pytest.mark.scale10x
 
 SF_BIG = "/root/testdata/sf0.1"
 
-# oracle constants trained at contract scale -> value check is
-# sf0.01-only by documented design
-KNOWN_SF_BOUND = {"sim_ivf_topk"}
+KNOWN_SF_BOUND: set[str] = set()  # empty since round 4 — keep it that way
 
 
 def test_full_oracle_sweep_at_sf01(spark):
