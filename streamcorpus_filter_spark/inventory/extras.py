@@ -186,6 +186,54 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_retention_components",
+    f"""
+    {_PAIRS_SQL},
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+    lab AS (
+      SELECT t.doc_id, coalesce(comp.component_id, t.doc_id) AS component_id
+      FROM (SELECT doc_id FROM ({_TWINNED})) t
+      LEFT JOIN comp ON comp.doc_id = t.doc_id
+    )
+    SELECT doc_id, component_id,
+           doc_id = component_id AS keep,
+           CASE WHEN doc_id <> component_id THEN component_id END AS dup_of
+    FROM lab
+    """,
+)
+def dedup_retention_components(spark: SparkSession, sf: str) -> DataFrame:
+    """TRANSITIVE retention labels (VERDICT r3 task 7): keep exactly one
+    doc per near-dup connected component — the component root (smallest
+    doc_id) — and label every other member with ``dup_of`` = that root.
+    This is the retention policy large-scale dedup actually applies
+    (dedup_keep_first's single-hop ``dup_of`` can point at a doc that is
+    itself dropped; here the chain is collapsed, so the kept set is
+    exactly one doc per component and every dropped doc names a KEPT
+    ancestor). One declarative layer over dedup_cluster_components:
+    component ids come from the alternating large-star/small-star
+    contraction (skew-safe min-agg + join-back), and the labels are a
+    zero-shuffle projection on top — no new distributed machinery, so
+    the 100 TB shape is exactly the CC op's. The oracle recomputes the
+    same components with the exact recursive transitive-closure CTE."""
+    lab = dedup_cluster_components(spark, sf)
+    root = F.col("doc_id") == F.col("component_id")
+    return lab.select(
+        "doc_id",
+        "component_id",
+        root.alias("keep"),
+        F.when(~root, F.col("component_id")).alias("dup_of"),
+    )
+
+
 # --------------------------------------------------- corpus n-gram stats
 
 

@@ -972,3 +972,261 @@ def ql_host_cap(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("host_rank") <= HOST_CAP_K)
         .select("host", "doc_id", "n_chars", "host_rank")
     )
+
+# ----------------------------------- snapshot-incremental NEAR-dup dedup
+
+# same portable MinHash family as dedup_minhash_lsh (md5 base hash ->
+# affine perms mod p, md5 band keys) so the persisted index is
+# recomputable by the DuckDB oracle bit-for-bit
+from ._minhash import MH_P as _IMH_P  # noqa: E402
+from ._minhash import MINHASH_TOK as _IMH_TOK  # noqa: E402
+from ._minhash import mh_constants as _imh_constants  # noqa: E402
+
+_IMH_NPERM = 32
+_IMH_BANDS = 16
+_IMH_ROWS = _IMH_NPERM // _IMH_BANDS
+_IMH_THRESHOLD = 0.5
+
+# the planted "next crawl snapshot": verbatim copies (j=1), 40-word
+# truncations (near-dup for docs under ~80 words, novel above), and
+# genuinely new pages (reversed word order behind a fresh prefix — same
+# vocabulary, disjoint 3-shingles)
+_IMH_BATCH_SPARK = f"""
+      SELECT doc_id + 2000000 AS new_id, text FROM docs_v WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS new_id,
+             array_join(slice(filter(split(text, '{_IMH_TOK}'), x -> x != ''), 1, 40), ' ') AS text
+      FROM docs_v WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id + 4000000 AS new_id,
+             concat('fresh page ', CAST(doc_id AS STRING), ' ',
+                    array_join(reverse(filter(split(text, '{_IMH_TOK}'), x -> x != '')), ' ')) AS text
+      FROM docs_v WHERE doc_id % 3 = 2
+"""
+
+_IMH_BATCH_DUCK = """
+      SELECT doc_id + 2000000 AS new_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS new_id,
+             array_to_string(list_slice(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> ''), 1, 40), ' ') AS text
+      FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id + 4000000 AS new_id,
+             'fresh page ' || CAST(doc_id AS VARCHAR) || ' ' ||
+             array_to_string(list_reverse(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')), ' ') AS text
+      FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def _imh_spark_shingles(src: str, idc: str) -> str:
+    """Spark-dialect CTE chain: (idc, text) in relation ``src`` ->
+    toks_{idc} / sh_{idc} (distinct word 3-shingles). Same expression
+    shapes as _minhash_sql (inline explode, CASE size guard)."""
+    return f"""
+    toks_{idc} AS (
+      SELECT {idc}, filter(split(text, '{_IMH_TOK}'), x -> x != '') AS t FROM {src}
+    ),
+    sh_{idc} AS (
+      SELECT {idc},
+             explode(CASE WHEN size(t) >= 3 THEN
+                 array_distinct(transform(sequence(1, size(t) - 2),
+                   i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+               ELSE array() END) AS shingle
+      FROM toks_{idc}
+    )"""
+
+
+def _imh_spark_bands(idc: str) -> str:
+    """Spark-dialect CTE chain from sh_{idc} to banded_{idc}:
+    (idc, band, bh) LSH band keys of the MinHash signature."""
+    min_cols = ", ".join(
+        f"min(({a} * x + {b}) % {_IMH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_imh_constants(_IMH_NPERM))
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {bi}, 'bh', md5(concat_ws(',', {parts})))".format(
+            bi=bi,
+            parts=", ".join(
+                f"m{bi * _IMH_ROWS + j}" for j in range(_IMH_ROWS)
+            ),
+        )
+        for bi in range(_IMH_BANDS)
+    )
+    return f"""
+    hashed_{idc} AS (
+      SELECT {idc},
+             cast(conv(substring(md5(shingle), 1, 12), 16, 10) AS bigint) % {_IMH_P} AS x
+      FROM sh_{idc}
+    ),
+    sigs_{idc} AS (SELECT {idc}, {min_cols} FROM hashed_{idc} GROUP BY {idc}),
+    banded_{idc} AS (
+      SELECT {idc}, bb.band AS band, bb.bh AS bh
+      FROM sigs_{idc} LATERAL VIEW explode(array({band_structs})) t AS bb
+    )"""
+
+
+def _imh_duck_shingles(src: str, idc: str) -> str:
+    return f"""
+    toks_{idc} AS (
+      SELECT {idc}, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words
+      FROM {src}
+    ),
+    sh_{idc} AS (
+      SELECT DISTINCT {idc}, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM toks_{idc}, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
+    )"""
+
+
+def _imh_duck_bands(idc: str) -> str:
+    min_cols = ", ".join(
+        f"min(({a} * x + {b}) % {_IMH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_imh_constants(_IMH_NPERM))
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT {idc}, {bi} AS band, md5(concat_ws(',', {parts})) AS bh FROM sigs_{idc}".format(
+            idc=idc,
+            bi=bi,
+            parts=", ".join(
+                f"CAST(m{bi * _IMH_ROWS + j} AS VARCHAR)" for j in range(_IMH_ROWS)
+            ),
+        )
+        for bi in range(_IMH_BANDS)
+    )
+    return f"""
+    hashed_{idc} AS (
+      SELECT {idc},
+             CAST(('0x' || substring(md5(shingle), 1, 12)) AS BIGINT) % {_IMH_P} AS x
+      FROM sh_{idc}
+    ),
+    sigs_{idc} AS (SELECT {idc}, {min_cols} FROM hashed_{idc} GROUP BY {idc}),
+    banded_{idc} AS ({band_rows})"""
+
+
+def _imh_oracle() -> str:
+    """End-to-end DuckDB recomputation: seen-corpus band index, batch
+    band keys, band-collision candidates, candidates-only exact Jaccard
+    >= threshold, per-batch-doc min source. The catalog persistence on
+    the Spark side is byte-invisible here by design — a persisted index
+    that changes the answer would be a broken index."""
+    return f"""
+    WITH batch AS ({_IMH_BATCH_DUCK}),
+    {_imh_duck_shingles("documents", "doc_id").lstrip()},
+    {_imh_duck_bands("doc_id").lstrip()},
+    {_imh_duck_shingles("batch", "new_id").lstrip()},
+    {_imh_duck_bands("new_id").lstrip()},
+    cands AS (
+      SELECT DISTINCT s.doc_id, b.new_id
+      FROM banded_doc_id s JOIN banded_new_id b
+        ON s.band = b.band AND s.bh = b.bh
+    ),
+    sz_seen AS (SELECT doc_id, count(*) AS sz FROM sh_doc_id GROUP BY doc_id),
+    sz_batch AS (SELECT new_id, count(*) AS sz FROM sh_new_id GROUP BY new_id),
+    inter AS (
+      SELECT c.doc_id, c.new_id, count(*) AS inter
+      FROM cands c
+      JOIN sh_doc_id s ON s.doc_id = c.doc_id
+      JOIN sh_new_id b ON b.new_id = c.new_id AND b.shingle = s.shingle
+      GROUP BY c.doc_id, c.new_id
+    ),
+    ver AS (
+      SELECT i.new_id, i.doc_id
+      FROM inter i
+      JOIN sz_seen ss ON ss.doc_id = i.doc_id
+      JOIN sz_batch sb ON sb.new_id = i.new_id
+      WHERE CAST(i.inter AS DOUBLE) / (ss.sz + sb.sz - i.inter) >= {_IMH_THRESHOLD}
+    )
+    SELECT b.new_id,
+           m.src IS NOT NULL AS is_dup,
+           m.src AS src_doc
+    FROM batch b
+    LEFT JOIN (SELECT new_id, min(doc_id) AS src FROM ver GROUP BY new_id) m
+      ON m.new_id = b.new_id
+    """
+
+
+@register("dedup_incremental_minhash", _imh_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-over-snapshot NEAR-dup dedup (VERDICT r3 task 6 — the
+    op every recurring-crawl user hits on day 2): the seen corpus's
+    MinHash LSH band keys are PERSISTED in a SnapshotCatalog table
+    (built across two append snapshots, the way a real index accretes
+    per crawl), and each new batch is probed against the persisted
+    index by band equi-join; only band-colliding candidates pay the
+    exact-Jaccard verify against the seen docs.
+
+    Scale shape: index build is one pass over new data per snapshot
+    (shingle -> 32 affine perms of one md5 -> 16 band keys, all
+    map-side-combinable minima); the probe never touches seen TEXT
+    except for the candidate slice (semi-join pattern, same rationale
+    as verify_pairs_jaccard); batch-vs-index is a hash equi-join on
+    uniform 128-bit band keys — no window, no all-pairs, no skew key.
+    At 10^12 seen docs the index is ~16 rows/doc of fixed width, laid
+    out partitioned by band — exactly the build-once/probe-per-batch
+    artifact dedup_incremental's exact-hash path cannot provide for
+    near-dups. Output mirrors dedup_incremental: (new_id, is_dup,
+    src_doc = smallest verified seen near-dup)."""
+    import tempfile
+
+    from ..catalog import SnapshotCatalog
+
+    load(spark, sf, "documents").createOrReplaceTempView("docs_v")
+
+    seen_bands = spark.sql(f"""
+    WITH {_imh_spark_shingles("docs_v", "doc_id").lstrip()},
+    {_imh_spark_bands("doc_id").lstrip()}
+    SELECT doc_id, band, bh FROM banded_doc_id
+    """)
+
+    # persist the index across TWO snapshots (even/odd doc_id) — the
+    # accrete-per-crawl shape; the probe reads the catalog, not the plan
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="imh_index_"))
+    cat.append(seen_bands.where(F.col("doc_id") % 2 == 0))
+    cat.append(seen_bands.where(F.col("doc_id") % 2 == 1))
+    index = cat.read(spark)
+
+    batch_bands = spark.sql(f"""
+    WITH batch AS ({_IMH_BATCH_SPARK}),
+    {_imh_spark_shingles("batch", "new_id").lstrip()},
+    {_imh_spark_bands("new_id").lstrip()}
+    SELECT new_id, band, bh FROM banded_new_id
+    """)
+
+    cands = (
+        index.join(batch_bands, ["band", "bh"])
+        .select("doc_id", "new_id")
+        .distinct()
+    )
+    cands.createOrReplaceTempView("imh_cands_v")
+
+    return spark.sql(f"""
+    WITH batch AS ({_IMH_BATCH_SPARK}),
+    cand_docs AS (
+      SELECT d.doc_id, d.text FROM docs_v d
+      LEFT SEMI JOIN imh_cands_v c ON c.doc_id = d.doc_id
+    ),
+    {_imh_spark_shingles("cand_docs", "doc_id").lstrip()},
+    {_imh_spark_shingles("batch", "new_id").lstrip()},
+    sz_seen AS (SELECT doc_id, count(*) AS sz FROM sh_doc_id GROUP BY doc_id),
+    sz_batch AS (SELECT new_id, count(*) AS sz FROM sh_new_id GROUP BY new_id),
+    inter AS (
+      SELECT c.doc_id, c.new_id, count(*) AS inter
+      FROM imh_cands_v c
+      JOIN sh_doc_id s ON s.doc_id = c.doc_id
+      JOIN sh_new_id b ON b.new_id = c.new_id AND b.shingle = s.shingle
+      GROUP BY c.doc_id, c.new_id
+    ),
+    ver AS (
+      SELECT i.new_id, i.doc_id
+      FROM inter i
+      JOIN sz_seen ss ON ss.doc_id = i.doc_id
+      JOIN sz_batch sb ON sb.new_id = i.new_id
+      WHERE CAST(i.inter AS DOUBLE) / (ss.sz + sb.sz - i.inter) >= {_IMH_THRESHOLD}
+    )
+    SELECT b.new_id,
+           m.src IS NOT NULL AS is_dup,
+           m.src AS src_doc
+    FROM batch b
+    LEFT JOIN (SELECT new_id, min(doc_id) AS src FROM ver GROUP BY new_id) m
+      ON m.new_id = b.new_id
+    """)
+

@@ -78,6 +78,31 @@ def test_cluster_components_transitivity(spark, reg):
     assert comp == {0: 0, 1: 0, 2: 0, 9: 9}
 
 
+def test_retention_components_one_keep_per_component(spark, reg):
+    """dedup_retention_components must (1) agree with the component ids
+    dedup_cluster_components emits, (2) keep EXACTLY one doc per
+    component — the root — and (3) point every dropped doc's dup_of at
+    that kept root (never at another dropped doc, the single-hop
+    dedup_keep_first failure mode this op exists to fix)."""
+    ret = reg.QUERIES["dedup_retention_components"](spark, SF_SMALL).collect()
+    comp = {
+        r.doc_id: r.component_id
+        for r in reg.QUERIES["dedup_cluster_components"](spark, SF_SMALL).collect()
+    }
+    assert {r.doc_id: r.component_id for r in ret} == comp
+
+    kept_by_comp: dict[int, list[int]] = {}
+    for r in ret:
+        if r.keep:
+            kept_by_comp.setdefault(r.component_id, []).append(r.doc_id)
+            assert r.dup_of is None and r.doc_id == r.component_id
+        else:
+            assert r.dup_of == r.component_id
+    # every component has exactly one kept doc, and it is the root
+    assert set(kept_by_comp) == set(comp.values())
+    assert all(v == [c] for c, v in kept_by_comp.items())
+
+
 def test_top_ngrams_matches_pandas_count(spark, reg):
     import collections
 

@@ -166,6 +166,51 @@ def test_incremental_flags_exact_copies_only(spark, reg, docs):
             assert got.is_dup == (h in seen_min), d
 
 
+def test_incremental_minhash_twins_across_snapshots(spark, reg, docs):
+    """Near-dup incremental dedup over the persisted band index:
+    verbatim copies (+2M) must be flagged with src_doc == their source,
+    40-word truncations (+3M) must flag for docs short enough that
+    truncation IS the doc (j=1) and include both outcomes overall, and
+    reversed-word novel pages (+4M) must never flag. The index is
+    persisted across TWO catalog snapshots (even/odd doc_id), so dup
+    sources from BOTH halves prove the probe reads the accreted index,
+    not one snapshot."""
+    import re
+
+    tok = re.compile(r"[ \t\n\r\f\x0B]+")
+    words_by_id = {d: [w for w in tok.split(t) if w] for d, t, _s in docs}
+    rows = {
+        r.new_id: r
+        for r in reg.QUERIES["dedup_incremental_minhash"](spark, SF_SMALL).collect()
+    }
+    assert len(rows) == len(docs)  # one verdict per batch doc
+
+    trunc_flags = []
+    for d, w in words_by_id.items():
+        if d % 3 == 0:
+            got = rows[d + 2_000_000]
+            if len(w) >= 3:  # shingleable -> identical sig -> must flag
+                # src_doc is the MIN verified seen match: usually the
+                # source itself, but a natural near-dup of the source
+                # with a smaller id legitimately wins the min
+                assert got.is_dup and got.src_doc <= d, d
+        elif d % 3 == 1:
+            got = rows[d + 3_000_000]
+            if 3 <= len(w) <= 40:  # truncation == identity -> j = 1
+                assert got.is_dup, d
+            trunc_flags.append(got.is_dup)
+        else:
+            assert not rows[d + 4_000_000].is_dup, d
+
+    assert any(trunc_flags) and not all(trunc_flags), (
+        "fixture must exercise both truncation outcomes"
+    )
+    dup_srcs = {r.src_doc for r in rows.values() if r.is_dup}
+    assert {s % 2 for s in dup_srcs} == {0, 1}, (
+        "dup sources must span both index snapshots (even and odd doc_id)"
+    )
+
+
 # ----------------------------------------------------------------- bloom
 
 
