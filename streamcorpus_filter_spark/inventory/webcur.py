@@ -1230,3 +1230,71 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
       ON m.new_id = b.new_id
     """)
 
+# --------------------------------------------- URL-level capture dedup
+
+# canonical-URL collision fixture: doc_id % 23 folds repeat captures
+# onto each (source, slot) canonical URL — 23 is coprime to the
+# fixture's source cycle, so collisions appear from ~460 docs up
+# (including the 500-doc contract scale); capture
+# order comes from a deterministic Weyl-style sequence (no rand(): task
+# retries and both engines reproduce it exactly)
+_UKL_SLOTS = 23
+_UKL_SEQ = f"(doc_id * 2654435761) % 1000003"
+# pack (seq, doc_id) into ONE BIGINT so arg-max is a plain max():
+# seq < 2^20 and doc_id < 2^32 here, so seq * 2^32 + doc_id < 2^52
+_UKL_PACK = f"({_UKL_SEQ}) * 4294967296 + doc_id"
+
+
+@register(
+    "dedup_url_keep_latest",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/p/' || CAST(doc_id % {_UKL_SLOTS} AS VARCHAR) AS canonical_url,
+             {_UKL_SEQ} AS warc_seq,
+             {_UKL_PACK} AS wkey
+      FROM documents
+    ),
+    w AS (SELECT canonical_url, max(wkey) AS mw FROM u GROUP BY canonical_url)
+    SELECT u.doc_id, u.canonical_url, u.warc_seq,
+           u.wkey = w.mw AS keep,
+           CASE WHEN u.wkey <> w.mw THEN w.mw % 4294967296 END AS superseded_by
+    FROM u JOIN w ON w.canonical_url = u.canonical_url
+    """,
+)
+def dedup_url_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level capture dedup, the step a Common-Crawl-style store runs
+    BEFORE any content dedup: a crawl re-fetches the same canonical URL
+    across snapshots, and only the LATEST capture should survive (ties
+    on capture time keep the larger doc_id). The fixture folds ~10 docs
+    onto each canonical URL with a deterministic capture sequence so
+    the rule demonstrably fires.
+
+    Scale shape: arg-max per URL is packed into ONE BIGINT
+    (seq * 2^32 + doc_id) so the winner is a plain map-side-combinable
+    max() + an equi-join back — no window over the URL key (URL capture
+    counts on real crawls are Zipfian: one hot URL re-crawled hourly
+    would otherwise be a single-reducer sort, the exact trap
+    ql_line_dedup had before its round-4 de-skew). Composes with
+    ql_url_canonicalize, which produces the canonical key this op
+    groups on."""
+    u = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            (F.col("doc_id") % _UKL_SLOTS).cast("string"),
+        ).alias("canonical_url"),
+        F.expr(_UKL_SEQ).alias("warc_seq"),
+        F.expr(_UKL_PACK).alias("wkey"),
+    )
+    w = u.groupBy("canonical_url").agg(F.max("wkey").alias("mw"))
+    return u.join(w, "canonical_url").select(
+        "doc_id",
+        "canonical_url",
+        "warc_seq",
+        (F.col("wkey") == F.col("mw")).alias("keep"),
+        F.when(F.col("wkey") != F.col("mw"), F.col("mw") % 4294967296).alias(
+            "superseded_by"
+        ),
+    )
+

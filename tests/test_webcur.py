@@ -211,6 +211,32 @@ def test_incremental_minhash_twins_across_snapshots(spark, reg, docs):
     )
 
 
+def test_url_keep_latest_recount(spark, reg, docs):
+    """Independent dict recount: one keep per canonical URL — the capture
+    with the max (seq, doc_id) — and every dropped capture names the
+    kept winner."""
+    rows = reg.QUERIES["dedup_url_keep_latest"](spark, SF_SMALL).collect()
+    assert len(rows) == len(docs)
+    best: dict[str, tuple] = {}
+    src_by_id = {d: s for d, _t, s in docs}
+    for d, _t, s in docs:
+        url = f"https://{s}.example.com/p/{d % 23}"
+        key = ((d * 2654435761) % 1000003, d)
+        if url not in best or key > best[url]:
+            best[url] = key
+    n_drop = 0
+    for r in rows:
+        url = f"https://{src_by_id[r.doc_id]}.example.com/p/{r.doc_id % 23}"
+        assert r.canonical_url == url
+        win = best[url][1]
+        if r.doc_id == win:
+            assert r.keep and r.superseded_by is None
+        else:
+            assert not r.keep and r.superseded_by == win
+            n_drop += 1
+    assert n_drop > 0, "fixture must fire the rule at contract scale"
+
+
 # ----------------------------------------------------------------- bloom
 
 
