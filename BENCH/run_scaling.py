@@ -196,16 +196,22 @@ oracle through extract -> rules -> langid -> perplexity -> entity match
 -> PII+toxicity scrub.
 
 Standing gate: `pytest -m scale10x` re-runs every documents/embeddings
-query against DuckDB at sf0.1 (10x contract scale; sim_ivf_topk's
-contract-scale-only oracle is the one allowed exception). Per-round
-record: round 2 = 104/105; round 3 = green at 127 registered queries
-(265 s wall, local[8]).
+query against DuckDB at sf0.1 (10x contract scale). Per-round record:
+round 2 = 104/105; round 3 = green at 127 registered queries (265 s
+wall, local[8]); round 4 = green at 131 registered queries with ZERO
+allowed exceptions, 330 s (sim_ivf_topk's integer-k-means rewrite
+removed the one contract-scale-only oracle).
 
 ## Headline bench (driver-run per round)
 
 `python bench.py` at sf0.1 / local[32] times pipeline, flagship AC-match
 filter+agg, MinHash-LSH dedup, cosine top-k, join+agg, and salted skew
-agg; the driver records the JSON line as BENCH_r{{N}}.json.
+agg; the driver records the JSON line as BENCH_r{{N}}.json. Since round
+4 bench.py also emits interleaved CPU-control wall ratios and an
+embedded local[4]-vs-local[16] scaling section with a
+control-normalized efficiency (see "Round-4 noise immunity" in the
+committed BASELINE.md; if this template regenerated the file, re-apply
+that section from git).
 
 ## Single-core kernel cost (for the throughput model)
 

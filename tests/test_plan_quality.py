@@ -229,6 +229,19 @@ def test_line_dedup_has_no_window(spark):
     assert "HashAggregate" in plan or "SortAggregate" in plan, plan
 
 
+def test_url_keep_latest_has_no_window(spark):
+    """dedup_url_keep_latest must pick each URL's winning capture with a
+    map-side-combinable max() over the packed (seq, doc_id) BIGINT plus
+    a join-back — never a window over the URL key (URL capture counts
+    on real crawls are Zipfian: one hot URL re-crawled hourly would be
+    a single-reducer sort)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["dedup_url_keep_latest"](spark, SF_SMALL))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
 def test_substring_spans_no_null_window(spark):
     """dedup_substring_spans must never feed NULL span hashes into the
     corpus-wide window: short docs (< W tokens) used to ride through
