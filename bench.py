@@ -158,6 +158,24 @@ _CTRL_BUF = b"\xa5" * (1 << 20)
 _CTRL_MB_PER_THREAD = 128
 
 
+def spark_control_wall(spark) -> float:
+    """Spark-NATIVE control: one fixed embarrassingly-parallel JVM job
+    (sum of xxhash64 over a 200M range, 128 tasks) in the SAME session.
+    Unlike the process-external sha256 control, this co-experiences
+    whatever slows Spark itself (JVM scheduling, steal bursts that hit
+    the task threads, I/O stalls) — measured windows where the pipeline
+    ran 2x slow moved the sha256 control < 5% but move this one in
+    lockstep. Its wall scales with the session's core count, so
+    cross-LEVEL use must compare its own observed scaling (see
+    efficiency_spark_relative), not raw walls."""
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 128).selectExpr(
+        # pmod bounds the summand so ANSI mode can't overflow the sum
+        "sum(pmod(xxhash64(id), 1024)) AS s"
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def cpu_control_wall(threads: int = 1) -> float:
     import hashlib
     import threading as _th
@@ -253,7 +271,8 @@ def run_level(
 ) -> tuple[dict[str, float], float, int | None]:
     """Run ``selected`` at local[cores]: warm up, then best-of-N walls
     with one CPU-control sample interleaved before every query sample.
-    Returns (best walls, best control wall, pipeline page count).
+    Returns (best walls, best sha256-control wall, best spark-control
+    wall, pipeline page count).
 
     ``ctrl_threads`` defaults to min(cores, 16): at 32 threads the
     control saturates the (shared) box and its own wall swings 4x, which
@@ -290,16 +309,18 @@ def run_level(
 
     times: dict[str, float] = {}
     ctrl: list[float] = []
+    sctrl: list[float] = []
     for name in selected:
         best = float("inf")
         for _ in range(repeats.get(name, 3)):
             ctrl.append(cpu_control_wall(ctrl_threads))
+            sctrl.append(spark_control_wall(spark))
             t0 = time.perf_counter()
             bench[name]()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
     spark.stop()
-    return times, round(min(ctrl), 4), state["n_pages"]
+    return times, round(min(ctrl), 4), round(min(sctrl), 4), state["n_pages"]
 
 
 def main() -> None:
@@ -332,7 +353,9 @@ def main() -> None:
         "skew_salted",
     ]
 
-    times, ctrl_hi, n_pages = run_level(args.cores, sf_dir, pages_path, selected)
+    times, ctrl_hi, sctrl_hi, n_pages = run_level(
+        args.cores, sf_dir, pages_path, selected
+    )
 
     total = round(sum(times.values()), 3)
     out = {
@@ -346,7 +369,14 @@ def main() -> None:
         # control is fixed pure-CPU work, so steal hits both alike.
         # Compare THESE across rounds — raw walls swing 2-2.6x on this VM.
         "control_wall": ctrl_hi,
-        "wall_ratios": {k: round(v / ctrl_hi, 2) for k, v in times.items()},
+        "spark_control_wall": sctrl_hi,
+        # primary round-over-round comparator: normalized by the
+        # SPARK-NATIVE control, which co-experiences Spark-visible
+        # weather the external sha256 control provably misses
+        "wall_ratios": {k: round(v / sctrl_hi, 2) for k, v in times.items()},
+        "wall_ratios_vs_host_control": {
+            k: round(v / ctrl_hi, 2) for k, v in times.items()
+        },
         "methodology": (
             "best-of-N wall per query (pipeline/dedup_minhash/sim_topk N=5, "
             "others N=3) after JVM+python-worker warmup; control_wall = best "
@@ -361,11 +391,11 @@ def main() -> None:
 
     if "pipeline" in times and not args.no_scaling:
         ctrl_n = min(args.scale_hi, 16)  # SAME control for both windows
-        hi_times, ctrl_shi, hi_pages = run_level(
+        hi_times, ctrl_shi, sctrl_shi, hi_pages = run_level(
             args.scale_hi, sf_dir, pages_path, ["pipeline"],
             repeats={"pipeline": 4}, ctrl_threads=ctrl_n,
         )
-        lo_times, ctrl_slo, lo_pages = run_level(
+        lo_times, ctrl_slo, sctrl_slo, lo_pages = run_level(
             args.scale_lo, sf_dir, pages_path, ["pipeline"],
             repeats={"pipeline": 4}, ctrl_threads=ctrl_n,
         )
@@ -377,6 +407,13 @@ def main() -> None:
         # stolen window slows query and control alike), so this
         # efficiency survives weather drift BETWEEN the two levels
         eff_ctrl = ((dps_hi * ctrl_shi) / (dps_lo * ctrl_slo)) / ratio
+        # plan scaling RELATIVE to an embarrassingly-parallel Spark
+        # baseline measured in the same two windows: the spark control's
+        # own observed speedup (ideal = ratio) is the denominator, so a
+        # weather burst or box saturation that hits both jobs cancels.
+        # 1.0 = the pipeline scales exactly as well as a perfect
+        # map-only JVM job does on this box right now.
+        eff_spark_rel = (dps_hi / dps_lo) / (sctrl_slo / sctrl_shi)
         out["scaling"] = {
             "cores_lo": args.scale_lo,
             "cores_hi": args.scale_hi,
@@ -384,8 +421,11 @@ def main() -> None:
             "pipeline_docs_per_sec_hi": round(dps_hi, 1),
             "control_wall_lo": ctrl_slo,
             "control_wall_hi": ctrl_shi,
+            "spark_control_wall_lo": sctrl_slo,
+            "spark_control_wall_hi": sctrl_shi,
             "efficiency_raw": round(eff_raw, 3),
             "efficiency_ctrl_normalized": round(eff_ctrl, 3),
+            "efficiency_spark_relative": round(eff_spark_rel, 3),
             "protocol": (
                 "same 48k-page corpus at local[lo] and local[hi]; pair is "
                 "4->16 because each task slot runs JVM+python threads (2N "
@@ -402,9 +442,10 @@ def main() -> None:
         out["stable_comparators"] = {
             "pipeline_docs_per_sec_local16": round(dps_hi, 1),
             "pipeline_wall_ratio_local16": round(
-                hi_times["pipeline"] / ctrl_shi, 2
+                hi_times["pipeline"] / sctrl_shi, 2
             ),
             "scaling_efficiency": round(eff_ctrl, 3),
+            "scaling_efficiency_spark_relative": round(eff_spark_rel, 3),
         }
     print(json.dumps(out))
 
