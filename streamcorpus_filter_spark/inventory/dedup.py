@@ -90,6 +90,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", threshold=0.2, max_df=MAX_SHINGLE_DF)
 
 
+
+_CONT_NUM, _CONT_DEN = 9, 10  # containment threshold 0.9 as an exact ratio
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH t AS ({_TWINNED}),
+    w AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words FROM t),
+    sh0 AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) AS r(i)
+    ),
+    dfk AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+    sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dfk USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.a AS contained_doc, i.b AS container_doc,
+           round(CAST(i.inter AS DOUBLE) / sa.sz, 6) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+    WHERE i.inter * {_CONT_DEN} >= {_CONT_NUM} * sa.sz
+    """,
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: C(A in B) = |A∩B| / |A|
+    over df-capped word 3-shingles, emitted when >= 0.9 — the detector
+    for a short doc living INSIDE a longer one (a quoted article, a
+    syndicated excerpt, the planted 40-word twins of long docs), which
+    symmetric Jaccard structurally misses: a 40-word twin of a 400-word
+    original has containment 1.0 but Jaccard ~0.1, below any sane
+    Jaccard threshold. Standard companion to Jaccard in crawl dedup
+    (Broder's containment sketch problem).
+
+    Scale shape: same df-capped inverted-index equi-join as
+    jaccard_pairs (never a cartesian; the hot-shingle cap is a groupBy
+    + semi-join, no window) with BOTH orientations of each pair scored
+    — containment is directional. The threshold comparison is the exact
+    integer cross-multiply inter*10 >= 9*|A| on both engines; only the
+    reported score divides (rounded, both engines)."""
+    sh = word_shingles(_twinned(spark, sf), "doc_id", "text", k=3)
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa"))
+    return (
+        inter.join(sa, "a")
+        .filter(F.col("inter") * _CONT_DEN >= _CONT_NUM * F.col("sa"))
+        .select(
+            F.col("a").alias("contained_doc"),
+            F.col("b").alias("container_doc"),
+            F.round(F.col("inter") / F.col("sa"), 6).alias("containment"),
+        )
+    )
+
 from ._minhash import MINHASH_TOK as _MINHASH_TOK  # noqa: E402
 from ._minhash import MH_P as _MH_P  # noqa: E402
 from ._minhash import mh_constants as _mh_constants  # noqa: E402

@@ -73,17 +73,23 @@ def jaccard_pairs(
     shingle space (= exact Jaccard restricted to informative shingles —
     the standard df-capped search-index semantics, mirrored verbatim in
     the DuckDB oracle). The uncapped exact path remains for
-    fixtures/candidate verification; LSH is the scale path either way."""
-    from pyspark.sql import Window
+    fixtures/candidate verification; LSH is the scale path either way.
 
+    The cap itself must not recreate the skew it guards against: a
+    window `count(*) OVER (PARTITION BY shingle)` gathers every copy of
+    the hot shingle in ONE reducer before filtering it out (hashing
+    never splits equal keys — the same trap ql_line_dedup had). The df
+    count is therefore a map-side-combinable groupBy + a semi-join back:
+    the hot key's probe rows stream through the join and drop, and AQE
+    can split a skewed probe partition."""
     if max_df is not None:
-        shingles = (
-            shingles.withColumn(
-                "_df", F.count("*").over(Window.partitionBy("shingle"))
-            )
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_df)
-            .drop("_df")
+            .select("shingle")
         )
+        shingles = shingles.join(keep, "shingle", "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     b = shingles.select(F.col(id_col).alias("b"), "shingle")

@@ -219,7 +219,7 @@ RUN_ORDER = [
     #    any-sf IVF oracle) or newly added in round 4
     "ql_line_dedup", "dedup_substring_spans", "sim_ivf_topk",
     "dedup_retention_components", "dedup_incremental_minhash",
-    "sim_ann_persisted", "dedup_url_keep_latest",
+    "sim_ann_persisted", "dedup_url_keep_latest", "dedup_containment",
     # -- tier 3: green in r03, one round old
     "ql_langid", "ql_perplexity", "txt_rolling_fp",
     "mm_decode_features", "mm_resize", "mm_frame_sample",

@@ -258,3 +258,29 @@ def test_ann_persisted_recall_and_shape(spark, reg):
     ]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
 
+def test_containment_catches_twins_jaccard_misses(spark, reg):
+    """Every planted 40-word twin is fully CONTAINED in its original
+    (containment 1.0 on capped shingles), including twins of LONG
+    originals whose symmetric Jaccard falls below the 0.2 pair
+    threshold — the directional detector must recover exactly those."""
+    cont = reg.QUERIES["dedup_containment"](spark, SF_SMALL).collect()
+    pairs = {(r.contained_doc, r.container_doc) for r in cont}
+    jac = {
+        (r.a, r.b): r.jaccard
+        for r in reg.QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+    }
+    twin_hits = {(a, b) for a, b in pairs if a >= 1_000_000 and b == a - 1_000_000}
+    assert twin_hits, "twins must be detected as contained in originals"
+    # dedup_keep_first's retention threshold is Jaccard >= 0.5; a twin of
+    # a long original sits below it yet is 100% contained — containment
+    # must recover at least one such pair on this fixture
+    below_retention_jaccard = {
+        (a, b) for a, b in twin_hits if jac.get((b, a), jac.get((a, b), 0.0)) < 0.5
+    }
+    assert below_retention_jaccard, (
+        "fixture must include a contained twin below the 0.5 Jaccard "
+        "retention threshold (containment's whole point)"
+    )
+    for r in cont:
+        assert r.containment >= 0.9
+

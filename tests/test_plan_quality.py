@@ -242,6 +242,17 @@ def test_url_keep_latest_has_no_window(spark):
     assert "HashAggregate" in plan or "SortAggregate" in plan, plan
 
 
+def test_ngram_jaccard_df_cap_has_no_window(spark):
+    """jaccard_pairs' df cap must count shingle frequency with a
+    map-side-combinable groupBy + semi-join back, not a window over the
+    shingle key — a crawl-scale hot shingle ("of the and") would gather
+    every copy in ONE reducer before the cap even filters it."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["dedup_ngram_jaccard"](spark, SF_SMALL))
+    assert "Window" not in plan, plan
+
+
 def test_substring_spans_no_null_window(spark):
     """dedup_substring_spans must never feed NULL span hashes into the
     corpus-wide window: short docs (< W tokens) used to ride through
