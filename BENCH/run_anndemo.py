@@ -236,13 +236,16 @@ def main() -> None:
             f"{r['raw_mb']} | {r['index_mb']} | {r['shrink_x']}x |"
         )
     md += ["",
-           "Takeaways: build wall grows ~linearly in corpus size (one",
-           "map-only quantize+assign pass); probe wall stays in the same",
-           "ballpark across a 10x corpus because candidates are ~nprobe/K",
-           "of the corpus ranked by 8 integer LUT lookups each, and only",
-           "~32 rows/query (the shortlist) ever touch full vectors; the",
-           "catalog artifact is the only thing a probe reads — at 10^12",
-           "rows the raw vectors never rescan, which is the point."]
+           "Takeaways: probe wall stays in the same ballpark across a 10x",
+           "corpus because candidates are ~nprobe/K of the corpus ranked",
+           "by 8 integer LUT lookups each, and only ~32 rows/query (the",
+           "shortlist) ever touch full vectors; the index is ~39x smaller",
+           "than the raw embeddings, so the catalog artifact is the only",
+           "thing a probe reads — at 10^12 rows the raw vectors never",
+           "rescan. Build is structurally one map-only quantize+assign",
+           "pass (O(N)); at these sizes the constant costs (sample train,",
+           "catalog commit) plus VM weather dominate the build column, so",
+           "read the probe and shrink columns, not the build trend."]
     (REPO / "BENCH" / "ANNDEMO.md").write_text("\n".join(md) + "\n")
     print(json.dumps({"anndemo": rows}))
     spark.stop()
