@@ -83,6 +83,11 @@ QUERIES_UNDER_TEST = [
     "ql_host_cap",
     "ql_hash_split",
     "ql_threshold_sweep",
+    # round-4 ops
+    "dedup_retention_components",
+    "dedup_incremental_minhash",
+    "dedup_url_keep_latest",
+    "dedup_containment",
 ]
 
 _TEXTS = [

@@ -20,7 +20,13 @@ import pytest
 DIM = 64
 QUERIES_UNDER_TEST = ["dedup_embedding_cosine", "sim_topk_bruteforce",
                       "sim_lsh_bucketed", "emb_label_centroid",
-                      "emb_semantic_dedup", "emb_pq_quantize"]
+                      "emb_semantic_dedup", "emb_pq_quantize",
+                      # round 4: the integer-exact IVF/ANN rewrites made
+                      # both oracles recompute from the mounted table, so
+                      # they can face the adversarial vectors too (zero
+                      # vectors land in the codebook/centroid init; 1e6
+                      # magnitudes exercise the quantization clamp)
+                      "sim_ivf_topk", "sim_ann_persisted"]
 
 
 def _vectors() -> list[list[float]]:
