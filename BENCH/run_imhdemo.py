@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Incremental near-dup dedup scale demo (round 4): what does probing a
+NEW crawl batch against a catalog-persisted MinHash band index cost as
+the seen corpus grows?
+
+Protocol (xxhash64 fast-path operators, same as the 48k-page BIGDEMO):
+
+  * SEEN corpus: the cached synthetic pages dirs (48k and 192k pages —
+    a 4x growth), text column, id = xxhash64(url).
+  * INDEX build (timed once per size): word-3-shingles (hashed) ->
+    MinHash(32) -> 16 band keys per doc -> SnapshotCatalog append.
+  * BATCH (fixed 12k docs regardless of seen size): 4k verbatim copies
+    of seen docs, 4k 40-word truncations, 4k reversed-novel pages —
+    the registered dedup_incremental_minhash fixture classes.
+  * PROBE (best-of-3, timed with the Spark REST stage metrics): batch
+    shingles -> sigs -> band keys -> equi-join against the PERSISTED
+    index -> candidates-only exact-Jaccard verify -> per-batch-doc
+    verdict. Shuffle read/write bytes are diffed around the probe.
+
+The question the table answers: does probe cost scale with the BATCH
+(good: the day-2 story works) or with the SEEN corpus (bad: every
+ingest rescans history)? Expected: index scan grows with seen size but
+the verify work stays proportional to candidates; at 10^12 docs the
+index table would carry an Iceberg bucket(bh) partition transform so
+even the scan side co-partitions without re-shuffling (the catalog
+emulation has no bucket transform — that seam is documented in
+catalog.py).
+
+Writes BENCH/IMHDEMO.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import time
+import urllib.request
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SEEN_SIZES = [48_000, 192_000]
+BATCH_PER_CLASS = 4_000
+UI_PORT = 4077
+N_PERM, BANDS, THRESHOLD = 32, 16, 0.5
+
+
+def pages_dir(n: int) -> str:
+    path = REPO / ".cache" / f"pagesdir_n{n}_s42"
+    if not path.exists():
+        from streamcorpus_filter_spark.synth import write_pages_dir
+
+        tmp = path.with_name(path.name + ".tmp")
+        write_pages_dir(str(tmp), n, seed=42, files=max(32, n // 375))
+        tmp.rename(path)
+    return str(path)
+
+
+def stage_totals() -> dict[str, int]:
+    base = f"http://localhost:{UI_PORT}/api/v1"
+    with urllib.request.urlopen(f"{base}/applications", timeout=10) as r:
+        app_id = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"{base}/applications/{app_id}/stages", timeout=10
+    ) as r:
+        stages = json.load(r)
+    tot = {"shuffleReadBytes": 0, "shuffleWriteBytes": 0}
+    for s in stages:
+        for k in tot:
+            tot[k] += int(s.get(k) or 0)
+    return tot
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    from streamcorpus_filter_spark.catalog import SnapshotCatalog
+    from streamcorpus_filter_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+        verify_pairs_jaccard,
+        word_shingles,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("imhdemo")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for n in SEEN_SIZES:
+        seen = (
+            spark.read.parquet(pages_dir(n))
+            .select(F.xxhash64("url").alias("doc_id"), "text")
+        )
+
+        # ---- fixed-size batch planted from the seen corpus
+        tok = F.filter(
+            F.split(F.col("text"), "[ \\t\\n\\r\\f\\x0B]+"), lambda x: x != ""
+        )
+        picks = seen.orderBy("doc_id").limit(3 * BATCH_PER_CLASS)
+        w = picks.withColumn("_r", F.monotonically_increasing_id())
+        batch = (
+            w.filter(F.col("_r") % 3 == 0)
+            .select(F.xxhash64(F.lit("copy"), "doc_id").alias("new_id"), "text")
+            .unionByName(
+                w.filter(F.col("_r") % 3 == 1).select(
+                    F.xxhash64(F.lit("trunc"), "doc_id").alias("new_id"),
+                    F.array_join(F.slice(tok, 1, 40), " ").alias("text"),
+                )
+            )
+            .unionByName(
+                w.filter(F.col("_r") % 3 == 2).select(
+                    F.xxhash64(F.lit("novel"), "doc_id").alias("new_id"),
+                    F.concat(
+                        F.lit("fresh page "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" "),
+                        F.array_join(F.reverse(tok), " "),
+                    ).alias("text"),
+                )
+            )
+            .localCheckpoint(eager=True)  # batch is fixed input, not timed
+        )
+        n_batch = batch.count()
+
+        # ---- BUILD the persisted band index (timed)
+        idx_root = REPO / ".cache" / f"imhdemo_idx_{n}"
+        shutil.rmtree(idx_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        sh_seen = word_shingles(seen, "doc_id", "text", k=3, hashed=True)
+        bands_seen = lsh_band_keys(
+            minhash_signatures(sh_seen, "doc_id", N_PERM), "doc_id", N_PERM, BANDS
+        )
+        cat = SnapshotCatalog(str(idx_root))
+        cat.append(bands_seen)
+        build_wall = round(time.perf_counter() - t0, 2)
+        idx_rows = cat.read(spark).count()
+
+        # ---- PROBE the persisted index (best-of-3 + shuffle-byte diff)
+        def probe_once() -> int:
+            index = cat.read(spark)
+            sh_batch = word_shingles(batch, "new_id", "text", k=3, hashed=True)
+            bands_batch = lsh_band_keys(
+                minhash_signatures(sh_batch, "new_id", N_PERM),
+                "new_id", N_PERM, BANDS,
+            )
+            cands = (
+                index.join(bands_batch, ["band", "bh"])
+                .select(F.col("doc_id").alias("a"), F.col("new_id").alias("b"))
+                .distinct()
+            )
+            # cross-side verify over the union shingle space (ids are
+            # disjoint xxhash64 spaces)
+            sh_union = sh_seen.join(
+                cands.select(F.col("a").alias("doc_id")).distinct(),
+                "doc_id", "left_semi",
+            ).unionByName(
+                sh_batch.select(F.col("new_id").alias("doc_id"), "shingle").join(
+                    cands.select(F.col("b").alias("doc_id")).distinct(),
+                    "doc_id", "left_semi",
+                )
+            )
+            ver = verify_pairs_jaccard(cands, sh_union, "doc_id", THRESHOLD)
+            out = (
+                batch.join(
+                    ver.groupBy("b").agg(F.min("a").alias("src")),
+                    batch["new_id"] == F.col("b"), "left",
+                )
+                .select("new_id", F.col("src").isNotNull().alias("is_dup"))
+            )
+            return out.filter("is_dup").count()
+
+        probe_once()  # warm
+        best, dups, sbytes = float("inf"), 0, None
+        for _ in range(3):
+            before = stage_totals()
+            t0 = time.perf_counter()
+            dups = probe_once()
+            wall = time.perf_counter() - t0
+            after = stage_totals()
+            if wall < best:
+                best = wall
+                sbytes = {
+                    k: after[k] - before[k] for k in after
+                }
+        rows.append(
+            {
+                "seen_docs": n,
+                "index_rows": idx_rows,
+                "build_s": build_wall,
+                "batch_docs": n_batch,
+                "probe_s": round(best, 2),
+                "dups_found": dups,
+                "probe_shuffle_write_mb": round(sbytes["shuffleWriteBytes"] / 1e6, 1),
+                "probe_shuffle_kb_per_batch_doc": round(
+                    sbytes["shuffleWriteBytes"] / 1024 / n_batch, 1
+                ),
+            }
+        )
+
+    md = ["# Incremental near-dup probe demo (round 4)", "",
+          "Fixed 12k-doc batch probed against a catalog-persisted MinHash",
+          "band index as the SEEN corpus grows 4x (protocol:",
+          "BENCH/run_imhdemo.py; xxhash64 fast path, local[16]).", "",
+          "| seen docs | index rows | build (s) | probe best-of-3 (s) | dups found | probe shuffle MB | shuffle KB / batch doc |",
+          "| --- | --- | --- | --- | --- | --- | --- |"]
+    for r in rows:
+        md.append(
+            f"| {r['seen_docs']:,} | {r['index_rows']:,} | {r['build_s']} | "
+            f"{r['probe_s']} | {r['dups_found']:,} | "
+            f"{r['probe_shuffle_write_mb']} | {r['probe_shuffle_kb_per_batch_doc']} |"
+        )
+    g = rows[-1]["probe_s"] / max(rows[0]["probe_s"], 1e-9)
+    md += ["",
+           f"Probe wall grew {g:.2f}x across a 4.0x seen-corpus growth; the",
+           "shuffle column shows what the probe actually moves: the batch's",
+           "own shingles/sigs plus the candidate slice — the seen corpus's",
+           "TEXT never reshuffles (semi-join before collect_set), only its",
+           "band-key index participates in the equi-join. At 10^12 docs the",
+           "index table would carry an Iceberg bucket(bh) partition",
+           "transform so the index side of that join is pre-partitioned and",
+           "only batch-side bytes move; the SnapshotCatalog emulation has",
+           "no bucket transform, so this demo still pays an index-side",
+           "shuffle that grows with seen size — visible in the table and",
+           "exactly what the bucket layout removes."]
+    (REPO / "BENCH" / "IMHDEMO.md").write_text("\n".join(md) + "\n")
+    print(json.dumps({"imhdemo": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

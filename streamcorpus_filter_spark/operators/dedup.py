@@ -178,21 +178,24 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_keys(
     sigs: DataFrame, id_col: str, n_perm: int = 32, bands: int = 8
 ) -> DataFrame:
-    """Band the signatures (rows = n_perm/bands) and equi-join on
-    (band, band-hash) to get candidate pairs (a < b), deduplicated."""
+    """(id, band, bh): the LSH band keys of each MinHash signature —
+    the PERSISTABLE index artifact (dedup_incremental_minhash stores
+    exactly this shape in a SnapshotCatalog table; at 10^12 docs the
+    table would be written with an Iceberg bucket(bh) partition
+    transform so probes co-partition against it without re-shuffling
+    the index). Band hash is variadic native xxhash64 over the band's
+    signature slots — no cast-to-string/concat per band."""
     rows = n_perm // bands
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        # variadic native hash of the band's signature
-                        # slots — no cast-to-string/concat per band
                         F.xxhash64(
                             *[F.col("sig")[bi * rows + j] for j in range(rows)]
                         ).alias("bh"),
@@ -202,6 +205,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signatures (rows = n_perm/bands) and equi-join on
+    (band, band-hash) to get candidate pairs (a < b), deduplicated."""
+    banded = lsh_band_keys(sigs, id_col, n_perm, bands)
     a = banded.select(F.col(id_col).alias("a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("b"), "band", "bh")
     return (
