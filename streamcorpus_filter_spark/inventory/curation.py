@@ -247,30 +247,55 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     emits per run.
 
     Scale shape: the gate is a pushed-down scan predicate (verified in
-    the plan: `PushedFilters: [GreaterThanOrEqual(n_chars,120)]`);
-    keep-first is `min(doc_id) over (partition by h)` — ONE scan of the
-    corpus and ONE shuffle on the 128-bit hash (uniform keys, no skew by
-    construction), where the groupBy+join-back formulation read the
-    corpus twice (Catalyst does not reuse a scan across differently
-    aggregated subtrees — measured in the plan: 6 exchanges, 2 scans vs
-    2 exchanges, 1 scan here); the final per-lang rollup aggregates a
-    handful of rows."""
-    w = Window.partitionBy("h")
-    kept = F.col("doc_id") == F.col("keep_id")
-    return (
+    the plan: `PushedFilters: [GreaterThanOrEqual(n_chars,120)]`), and
+    keep-first is computed WITHOUT windowing on the fingerprint
+    (de-skewed in round 4: the previous `min(doc_id) OVER (PARTITION BY
+    h)` claimed "uniform keys, no skew by construction" — false for
+    IDENTICAL prefixes, the same way hashing never split identical
+    lines in ql_line_dedup: one boilerplate prefix shared by billions
+    of docs is ONE window partition). Still one corpus scan:
+      1. groupBy(h, lang) — map-side-combinable count/min partials;
+      2. groupBy(h) — one row per (h, lang) in, min-struct winner out,
+         plus a collect_list of per-lang counts whose length is bounded
+         by the number of LANGUAGES in the group (a handful), never by
+         its document count — so a mega-fingerprint costs a bounded
+         list, not a single-reducer sort;
+      3. explode the bounded lists and roll up per language.
+    Every shuffle is a hash aggregate; zero Window operators
+    (plan-guarded)."""
+    d = (
         load(spark, sf, "documents")
         .filter(F.col("n_chars") >= _MIN_CHARS)
         .select(
             "doc_id", "lang", "n_chars",
             F.md5(F.substring("text", 1, _FP_CHARS)).alias("h"),
         )
-        .withColumn("keep_id", F.min("doc_id").over(w))
-        .groupBy("lang")
+    )
+    pl = d.groupBy("h", "lang").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct("doc_id", "n_chars")).alias("mn"),
+    )
+    per_h = pl.groupBy("h").agg(
+        F.min(
+            F.struct(
+                F.col("mn.doc_id").alias("doc_id"),
+                F.col("lang").alias("lang"),
+                F.col("mn.n_chars").alias("n_chars"),
+            )
+        ).alias("w"),
+        F.collect_list(
+            F.struct(F.col("lang").alias("lang"), F.col("n").alias("n"))
+        ).alias("pls"),
+    )
+    ex = per_h.select("w", F.explode("pls").alias("p"))
+    won = F.col("w.lang") == F.col("p.lang")
+    return (
+        ex.groupBy(F.col("p.lang").alias("lang"))
         .agg(
-            F.count("*").alias("docs_gated"),
-            F.sum(F.when(kept, 1).otherwise(0)).alias("docs_kept"),
-            F.sum(F.when(~kept, 1).otherwise(0)).alias("docs_dup"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+            F.sum("p.n").alias("docs_gated"),
+            F.sum(F.when(won, 1).otherwise(0)).alias("docs_kept"),
+            (F.sum("p.n") - F.sum(F.when(won, 1).otherwise(0))).alias("docs_dup"),
+            F.sum(F.when(won, F.col("w.n_chars")).otherwise(0)).alias("chars_kept"),
         )
     )
 

@@ -308,15 +308,22 @@ def ql_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ql_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup keep-earliest (the url/warc_ts dedup shape on the
-    fixture's (user_id, event_type) key)."""
-    from pyspark.sql import Window
+    fixture's (user_id, event_type) key).
 
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    De-skewed in round 4: the winner row is fully determined by
+    min(struct(ts, event_id)) per key, so a map-side-combinable groupBy
+    replaces the row_number window — on a real event stream user_id is
+    Zipfian (one bot user = one reducer's sort under the window; a
+    partial min never gathers the group)."""
     return (
         load(spark, sf, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts")
+        .groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("w"))
+        .select(
+            "user_id", "event_type",
+            F.col("w.event_id").alias("event_id"),
+            F.col("w.ts").alias("ts"),
+        )
     )
 
 
