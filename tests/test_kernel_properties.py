@@ -96,3 +96,67 @@ def test_classifier_fold_is_sum_of_vocab_weights(text):
     logit = sum(CLF_VOCAB.get(w, 0) for w in toks)
     assert isinstance(logit, int)
     assert all(-1000 <= v <= 1000 for v in CLF_VOCAB.values())
+
+# ---------------------------------------------------------------- round 4
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-2e6, max_value=2e6, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_ivf_quantize_matches_duckdb_expression(vals):
+    """_ivf_quant (numpy float64 floor + clamp) must agree element-wise
+    with the SQL transform the oracle runs in DuckDB, including values
+    beyond the clamp and floats that land exactly on integers — the
+    whole any-sf oracle rests on this identity."""
+    import duckdb
+    import numpy as np
+
+    from streamcorpus_filter_spark.inventory.dedup import (
+        _IVF_QUANT_DUCK,
+        _ivf_quant,
+    )
+
+    v32 = [float(np.float32(x)) for x in vals]
+    got = _ivf_quant(np.asarray(v32, dtype=np.float64)[None, :])[0].tolist()
+    want = duckdb.sql(
+        f"SELECT {_IVF_QUANT_DUCK} AS q FROM (SELECT ? AS embedding)",
+        params=[v32],
+    ).fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(min_value=0, max_value=1_000_002),
+       st.integers(min_value=0, max_value=(1 << 32) - 1))
+def test_url_keep_latest_wkey_pack_roundtrip(seq, doc_id):
+    """The packed arg-max key (seq * 2^32 + doc_id) must order
+    lexicographically by (seq, doc_id) and decode back exactly — the
+    no-window URL dedup is correct iff max(wkey) is max(seq, doc_id)."""
+    wkey = seq * 4294967296 + doc_id
+    assert wkey % 4294967296 == doc_id
+    assert wkey // 4294967296 == seq
+    assert wkey < (1 << 53)  # also exact in a DOUBLE, belt-and-braces
+    # order property vs a neighbor
+    wkey2 = (seq + 1) * 4294967296 + 0
+    assert wkey2 > wkey
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000),
+       st.integers(min_value=1, max_value=10_000))
+def test_containment_cross_multiply_equals_ratio(inter, sz):
+    """inter * 10 >= 9 * sz must decide exactly the same set as
+    inter / sz >= 0.9 would in exact arithmetic (the float form can
+    disagree at representation boundaries, which is why the operators
+    compare integers)."""
+    from fractions import Fraction
+
+    assert (inter * 10 >= 9 * sz) == (Fraction(inter, sz) >= Fraction(9, 10))
+
