@@ -559,6 +559,13 @@ _SEM_BITS = 6  # sign bits per rotation
 _SEM_COS = 0.95
 
 
+# mega-bucket cap: a (rot, bucket) group larger than this is excluded
+# from candidate generation on BOTH engines (SemDeDup's standard guard
+# for degenerate encoder regions; never binds on the gaussian fixture,
+# proven to bind by the planted-mega-cluster test)
+_SEM_BUCKET_CAP = 256
+
+
 def _sem_planes() -> "np.ndarray":
     # independent draw from the ANN planes (seed 11): dedup must not
     # silently share bucket structure with sim_lsh_bucketed's fixtures
@@ -599,9 +606,17 @@ def _sem_oracle() -> str:
              sum(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS bucket
       FROM dots GROUP BY vec_id, rot
     ),
+    okb AS (
+      SELECT rot, bucket FROM buckets
+      GROUP BY rot, bucket HAVING count(*) <= {_SEM_BUCKET_CAP}
+    ),
+    capped AS (
+      SELECT b.vec_id, b.rot, b.bucket
+      FROM buckets b JOIN okb USING (rot, bucket)
+    ),
     cands AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-      FROM buckets x JOIN buckets y
+      FROM capped x JOIN capped y
         ON x.rot = y.rot AND x.bucket = y.bucket AND x.vec_id < y.vec_id
     ),
     dup AS (
@@ -637,8 +652,12 @@ def emb_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     equi-joins on (rot, bucket) — never all-pairs — and only
     candidates pay the exact-cosine re-rank; retention is a min-agg +
     left join. A mega-bucket (e.g. the zero-ish region of a collapsed
-    encoder) is the skew risk: the production fix is bucket-size
-    capping or one more sign bit, both one-line changes here."""
+    encoder) would make one (rot, bucket) group quadratic in the
+    self-join, so buckets larger than _SEM_BUCKET_CAP are excluded
+    from candidate generation on BOTH engines (groupBy + semi-join —
+    the de-skewed count shape, not a window); the cap never binds on
+    the gaussian fixture and is exercised by a planted mega-cluster
+    test."""
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     tw = e.unionByName(
         e.filter(F.col("vec_id") % 10 == 0).select(
@@ -674,6 +693,16 @@ def emb_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("vec_id", "rb.rot", "rb.bucket")
     )
+    # mega-bucket cap (groupBy + semi-join, never a window over the
+    # bucket key): a degenerate encoder region would otherwise make one
+    # (rot, bucket) group quadratic in the self-join below
+    okb = (
+        buckets.groupBy("rot", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= _SEM_BUCKET_CAP)
+        .select("rot", "bucket")
+    )
+    buckets = buckets.join(okb, ["rot", "bucket"], "left_semi")
     left = buckets.select(
         "rot", "bucket", F.col("vec_id").alias("a")
     )

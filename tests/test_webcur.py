@@ -307,6 +307,52 @@ def test_lm_train_counts_equal_the_kernel_model(spark, reg, docs):
 # --------------------------------------------------------- semantic dedup
 
 
+def test_semantic_dedup_mega_bucket_cap_binds(spark, reg, tmp_path):
+    """A degenerate encoder region (300+ near-identical vectors, one
+    sign bucket in every rotation) must be EXCLUDED from candidate
+    generation by the bucket cap — its members all stay keep=True even
+    though their pairwise cosine is 1.0 — while a small identical pair
+    elsewhere still dedups. This is the SemDeDup production guard: cap
+    recall in degenerate regions instead of letting one bucket go
+    quadratic in the self-join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamcorpus_filter_spark.inventory.webcur import _SEM_BUCKET_CAP
+
+    rng = np.random.RandomState(3)
+    mega = rng.randn(64).astype(np.float32)
+    n_mega = _SEM_BUCKET_CAP + 50
+    vecs = [mega + rng.randn(64).astype(np.float32) * 1e-4 for _ in range(n_mega)]
+    pair = rng.randn(64).astype(np.float32)
+    vecs += [pair, pair.copy()]  # ids n_mega, n_mega+1: identical pair
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(vecs), dtype=np.int32)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    rows = {
+        r.vec_id: r
+        for r in reg.QUERIES["emb_semantic_dedup"](spark, str(tmp_path)).collect()
+    }
+    # every mega-cluster member (and its planted twin) survives: the
+    # only buckets it shares are over the cap
+    for vid, r in rows.items():
+        base = vid - 1_000_000 if vid >= 1_000_000 else vid
+        if base < n_mega:
+            assert r.keep and r.canonical_id == vid, vid
+    # the small identical pair still dedups to the smaller id
+    assert rows[n_mega].keep and rows[n_mega].canonical_id == n_mega
+    assert not rows[n_mega + 1].keep
+    assert rows[n_mega + 1].canonical_id == n_mega
+
+
 def test_semantic_dedup_drops_scaled_twins(spark, reg):
     emb = (
         duckdb.connect()
