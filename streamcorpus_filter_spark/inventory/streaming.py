@@ -329,3 +329,86 @@ def stream_flagship_filter(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, output_mode="complete")
+
+_BATCH_STAGE: dict[tuple[str, str], str] = {}
+
+
+def _stage_incr_batch(spark: SparkSession, sf: str) -> str:
+    """Stage the planted 'next crawl batch' (verbatim copies of every
+    doc_id%3==0 doc at +2M ids, novel variants of %3==1 at +3M — the
+    dedup_incremental fixture) as ONE parquet file for a one-micro-batch
+    stream."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _BATCH_STAGE:
+        d = load(spark, sf, "documents")
+        batch = (
+            d.filter(F.col("doc_id") % 3 == 0)
+            .select((F.col("doc_id") + 2_000_000).alias("new_id"), "text")
+            .unionByName(
+                d.filter(F.col("doc_id") % 3 == 1).select(
+                    (F.col("doc_id") + 3_000_000).alias("new_id"),
+                    F.concat(
+                        "text", F.lit(" novelty-"), F.col("doc_id").cast("string")
+                    ).alias("text"),
+                )
+            )
+        )
+        out = tempfile.mkdtemp(prefix="stream_batch_")
+        batch.coalesce(1).write.parquet(out, mode="overwrite")
+        _BATCH_STAGE[key] = out
+    return _BATCH_STAGE[key]
+
+
+@register(
+    "stream_static_join_dedup",
+    """
+    WITH seen_min AS (
+      SELECT md5(text) AS h, min(doc_id) AS src_doc
+      FROM documents GROUP BY md5(text)
+    ),
+    batch AS (
+      SELECT doc_id + 2000000 AS new_id, text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS new_id, text || ' novelty-' || doc_id AS text
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT b.new_id,
+           s.src_doc IS NOT NULL AS is_dup,
+           s.src_doc
+    FROM batch b LEFT JOIN seen_min s ON s.h = md5(b.text)
+    """,
+)
+def stream_static_join_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STATIC JOIN — the §2.10 shape every recurring crawl needs
+    and the one Structured Streaming capability the other streaming rows
+    don't exercise: new documents arrive as a stream and are probed,
+    per micro-batch and fully stateless, against a STATIC reference
+    table (here the seen corpus's (content-hash -> min doc) dedup
+    index; the same plan shape serves domain blocklists, benchmark
+    decontamination grams, or the MinHash band index). Because the
+    stream side carries no state and the static side is a plain batch
+    DataFrame, output is row-identical regardless of how the input
+    splits into micro-batches (asserted in tests/test_streaming.py) and
+    the batch SQL oracle checks it value-for-value. On a cluster the
+    static side is a broadcast or a bucketed table; nothing about the
+    plan changes."""
+    seen = (
+        load(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("src_doc"))
+    )
+    s = spark.readStream.schema("new_id bigint, text string").parquet(
+        _stage_incr_batch(spark, sf)
+    )
+    out = (
+        s.withColumn("h", F.md5("text"))
+        .join(seen, "h", "left")
+        .select(
+            "new_id",
+            F.col("src_doc").isNotNull().alias("is_dup"),
+            "src_doc",
+        )
+    )
+    return _run_to_memory(out, output_mode="append")
+

@@ -183,3 +183,74 @@ def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
     assert list(map(tuple, u1[["n", "total"]].values)) == [(2, 5.0), (3, 10.0)]
     u2 = out[out.user_id == 2]
     assert list(map(tuple, u2[["n", "total"]].values)) == [(1, 7.0)]
+
+def test_stream_static_join_invariant_to_batch_boundaries(spark, tmp_path):
+    """The stream-static dedup probe must emit row-identical output no
+    matter how the input splits into micro-batches: the stream side is
+    stateless and the static side is a fixed batch table, so 1-file and
+    per-file-trigger runs must agree exactly (the property that makes
+    the probe safe to run per crawl-hour)."""
+    import uuid as _uuid
+
+    docs_schema = "new_id bigint, text string"
+    seen_rows = [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+                 (3, "eta theta iota")]
+    seen = spark.createDataFrame(seen_rows, "doc_id bigint, text string")
+    static = seen.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("src_doc")
+    )
+
+    batch_rows = [
+        (100, "alpha beta gamma"),        # dup of 1
+        (101, "totally novel content"),   # novel
+        (102, "eta theta iota"),          # dup of 3
+        (103, "another novel page"),      # novel
+    ]
+
+    def run(split: bool):
+        d = str(tmp_path / f"src{_uuid.uuid4().hex[:6]}")
+        os.makedirs(d)
+        t0 = time.time() - 100
+        if split:
+            _write_one(spark, d, docs_schema, batch_rows[:2], t0)
+            _write_one(spark, d, docs_schema, batch_rows[2:], t0 + 10)
+        else:
+            _write_one(spark, d, docs_schema, batch_rows, t0)
+        s = spark.readStream.schema(docs_schema)
+        s = (
+            s.option("maxFilesPerTrigger", "1").parquet(d)
+            if split
+            else s.parquet(d)
+        )
+        out = (
+            s.withColumn("h", F.md5("text"))
+            .join(static, "h", "left")
+            .select(
+                "new_id", F.col("src_doc").isNotNull().alias("is_dup"), "src_doc"
+            )
+        )
+        rows = _drain(out, "append").collect()
+        return sorted((r.new_id, r.is_dup, r.src_doc) for r in rows)
+
+    one, many = run(split=False), run(split=True)
+    assert one == many
+    assert one == [
+        (100, True, 1), (101, False, None), (102, True, 3), (103, False, None)
+    ]
+
+
+def _write_one(spark, d: str, schema: str, rows: list[tuple], mtime: float) -> None:
+    """_write_file for an arbitrary schema."""
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{d}/.tmp{_uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+    part = next(
+        p for p in os.listdir(tmp) if p.endswith(".parquet") and not p.startswith(".")
+    )
+    dest = f"{d}/f{_uuid.uuid4().hex[:8]}.parquet"
+    shutil.move(os.path.join(tmp, part), dest)
+    shutil.rmtree(tmp)
+    os.utime(dest, (mtime, mtime))
+
