@@ -412,3 +412,68 @@ def stream_static_join_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     return _run_to_memory(out, output_mode="append")
 
+@register(
+    "stream_stream_join",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           epoch_us(p.p_ts) - epoch_us(c.c_ts) AS lag_us
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.p_ts >= c.c_ts
+     AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STREAM interval join — the other Structured Streaming
+    join shape (both sides unbounded, state + watermark on each): every
+    click joined to the same user's purchases within the following
+    hour, the classic attribution join. Both sides carry a 1-hour
+    watermark so the state store can evict rows the interval condition
+    can no longer match — the exact mechanism that bounds state at
+    10^12-event scale; with the finite fixture in one micro-batch no
+    row is evicted early, so the batch SQL oracle value-checks the
+    result. The join lag is emitted in exact integer MICROSECONDS
+    (Spark unix_micros == DuckDB epoch_us; a seconds-granularity diff
+    would truncate before subtracting on one engine and after on the
+    other)."""
+    clicks = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    return _run_to_memory(j, output_mode="append")
+

@@ -220,7 +220,7 @@ RUN_ORDER = [
     "ql_line_dedup", "dedup_substring_spans", "sim_ivf_topk",
     "dedup_retention_components", "dedup_incremental_minhash",
     "sim_ann_persisted", "dedup_url_keep_latest", "dedup_containment",
-    "stream_static_join_dedup",
+    "stream_static_join_dedup", "stream_stream_join",
     # -- tier 3: green in r03, one round old
     "ql_langid", "ql_perplexity", "txt_rolling_fp",
     "mm_decode_features", "mm_resize", "mm_frame_sample",
