@@ -221,15 +221,19 @@ RUN_ORDER = [
     "dedup_retention_components", "dedup_incremental_minhash",
     "sim_ann_persisted", "dedup_url_keep_latest", "dedup_containment",
     "stream_static_join_dedup", "stream_stream_join",
+    # de-skew rewrites this round (window -> groupBy shapes): need fresh
+    # driver attestation even though their oracles are unchanged
+    "curation_pipeline", "ql_dedup_exact", "emb_semantic_dedup",
+    "dedup_ngram_jaccard", "dedup_keep_first", "dedup_cluster_components",
     # -- tier 3: green in r03, one round old
     "ql_langid", "ql_perplexity", "txt_rolling_fp",
     "mm_decode_features", "mm_resize", "mm_frame_sample",
     "dedup_minhash_lsh", "dedup_simhash",
     "sim_lsh_bucketed", "ql_pipeline_full",
     "txt_salient_terms", "ql_source_mix", "txt_pack_bins",
-    "txt_char_entropy", "curation_pipeline", "ql_boilerplate_scrub",
-    "ql_url_canonicalize", "dedup_keep_first",
-    "dedup_incremental", "dedup_bloom", "emb_semantic_dedup",
+    "txt_char_entropy", "ql_boilerplate_scrub",
+    "ql_url_canonicalize",
+    "dedup_incremental", "dedup_bloom",
     "lm_train_ngrams",
     "txt_doc_chunk", "ql_dsir_importance", "emb_pq_quantize",
     "ql_domain_blocklist",
@@ -239,7 +243,6 @@ RUN_ORDER = [
     "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
     "scan_csv", "scan_json", "scan_iceberg_incremental", "sink_compact",
     "sink_expire_snapshots", "scan_schema_evolution", "sink_upsert",
-    "dedup_cluster_components",
     "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
     # -- tier 4: already driver-green (r01/r02) — cheap JVM relational
     "scan_parquet", "project_select", "project_derived", "filter_predicate",
@@ -260,11 +263,10 @@ RUN_ORDER = [
     "txt_top_ngrams", "txt_contamination", "emb_label_centroid",
     "ql_classifier_score", "ql_stratified_sample",
     "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
-    "ql_repetition", "ql_c4_rules", "ql_dedup_exact", "ql_metrics_rollup",
+    "ql_repetition", "ql_c4_rules", "ql_metrics_rollup",
     "dedup_embedding_cosine", "sim_topk_bruteforce",
     "ql_extract_text", "ql_pii_scrub", "ql_toxicity_scrub",
     "ql_ac_match", "flagship_filter_agg", "ql_ac_spans",
-    "dedup_ngram_jaccard",
     # -- tier 3 side-effecting tail
     "join_bucketed", "sink_partitioned", "scan_iceberg_snapshot",
     "sink_metrics", "ql_checkpoint_resume",
