@@ -20,11 +20,17 @@ Protocol (xxhash64 fast-path operators, same as the 48k-page BIGDEMO):
 The question the table answers: does probe cost scale with the BATCH
 (good: the day-2 story works) or with the SEEN corpus (bad: every
 ingest rescans history)? Expected: index scan grows with seen size but
-the verify work stays proportional to candidates; at 10^12 docs the
-index table would carry an Iceberg bucket(bh) partition transform so
-even the scan side co-partitions without re-shuffling (the catalog
-emulation has no bucket transform — that seam is documented in
-catalog.py).
+the verify work stays proportional to candidates.
+
+Round-4 addition: each probe is ALSO re-run against the same index
+stored as a Hive-bucketed table (`bucketBy(32, band, bh)` +
+saveAsTable) — the sandbox stand-in for the Iceberg bucket(bh)
+partition transform a 10^12-doc deployment would use. One side
+bucketed on the join key means the planner drops the index-side
+Exchange entirely: only the fixed-size batch shuffles, so shuffle
+KB per batch doc stays ~flat as the seen corpus grows — measured in
+the bucketed columns, with an in-run assert that both layouts return
+identical dup verdicts.
 
 Writes BENCH/IMHDEMO.md and prints one JSON line.
 """
@@ -150,9 +156,21 @@ def main() -> None:
         build_wall = round(time.perf_counter() - t0, 2)
         idx_rows = cat.read(spark).count()
 
+        # ---- bucketed twin of the index: the sandbox stand-in for the
+        # Iceberg bucket(bh) partition transform. Hive bucketing
+        # (bucketBy + saveAsTable) hash-partitions the stored files by
+        # the join key, so the probe's equi-join plans NO Exchange on
+        # the index side — only the (fixed-size) batch side shuffles,
+        # which is exactly the at-scale claim the plain-parquet rows
+        # above can't demonstrate.
+        tbl = f"imh_idx_bucketed_{n}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (cat.read(spark).write.bucketBy(32, "band", "bh")
+         .sortBy("band", "bh").mode("overwrite").saveAsTable(tbl))
+
         # ---- PROBE the persisted index (best-of-3 + shuffle-byte diff)
-        def probe_once() -> int:
-            index = cat.read(spark)
+        def probe_once(bucketed: bool = False) -> int:
+            index = spark.table(tbl) if bucketed else cat.read(spark)
             sh_batch = word_shingles(batch, "new_id", "text", k=3, hashed=True)
             bands_batch = lsh_band_keys(
                 minhash_signatures(sh_batch, "new_id", N_PERM),
@@ -184,19 +202,23 @@ def main() -> None:
             )
             return out.filter("is_dup").count()
 
-        probe_once()  # warm
-        best, dups, sbytes = float("inf"), 0, None
-        for _ in range(3):
-            before = stage_totals()
-            t0 = time.perf_counter()
-            dups = probe_once()
-            wall = time.perf_counter() - t0
-            after = stage_totals()
-            if wall < best:
-                best = wall
-                sbytes = {
-                    k: after[k] - before[k] for k in after
-                }
+        def measure(bucketed: bool) -> tuple[float, int, dict]:
+            probe_once(bucketed)  # warm
+            best, dups, sbytes = float("inf"), 0, None
+            for _ in range(3):
+                before = stage_totals()
+                t0 = time.perf_counter()
+                dups = probe_once(bucketed)
+                wall = time.perf_counter() - t0
+                after = stage_totals()
+                if wall < best:
+                    best = wall
+                    sbytes = {k: after[k] - before[k] for k in after}
+            return best, dups, sbytes
+
+        best, dups, sbytes = measure(bucketed=False)
+        bbest, bdups, bsbytes = measure(bucketed=True)
+        assert bdups == dups, (bdups, dups)  # layout must not change answers
         rows.append(
             {
                 "seen_docs": n,
@@ -209,34 +231,56 @@ def main() -> None:
                 "probe_shuffle_kb_per_batch_doc": round(
                     sbytes["shuffleWriteBytes"] / 1024 / n_batch, 1
                 ),
+                "bucketed_probe_s": round(bbest, 2),
+                "bucketed_shuffle_write_mb": round(
+                    bsbytes["shuffleWriteBytes"] / 1e6, 1
+                ),
+                "bucketed_shuffle_kb_per_batch_doc": round(
+                    bsbytes["shuffleWriteBytes"] / 1024 / n_batch, 1
+                ),
             }
         )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
     md = ["# Incremental near-dup probe demo (round 4)", "",
           "Fixed 12k-doc batch probed against a catalog-persisted MinHash",
           "band index as the SEEN corpus grows 4x (protocol:",
           "BENCH/run_imhdemo.py; xxhash64 fast path, local[16]).", "",
-          "| seen docs | index rows | build (s) | probe best-of-3 (s) | dups found | probe shuffle MB | shuffle KB / batch doc |",
-          "| --- | --- | --- | --- | --- | --- | --- |"]
+          "| seen docs | index rows | build (s) | probe best-of-3 (s) | dups found | probe shuffle MB | shuffle KB / batch doc | bucketed probe (s) | bucketed shuffle MB | bucketed KB / batch doc |",
+          "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |"]
     for r in rows:
         md.append(
             f"| {r['seen_docs']:,} | {r['index_rows']:,} | {r['build_s']} | "
             f"{r['probe_s']} | {r['dups_found']:,} | "
-            f"{r['probe_shuffle_write_mb']} | {r['probe_shuffle_kb_per_batch_doc']} |"
+            f"{r['probe_shuffle_write_mb']} | {r['probe_shuffle_kb_per_batch_doc']} | "
+            f"{r['bucketed_probe_s']} | {r['bucketed_shuffle_write_mb']} | "
+            f"{r['bucketed_shuffle_kb_per_batch_doc']} |"
         )
     g = rows[-1]["probe_s"] / max(rows[0]["probe_s"], 1e-9)
+    bg = (rows[-1]["bucketed_shuffle_kb_per_batch_doc"]
+          / max(rows[0]["bucketed_shuffle_kb_per_batch_doc"], 1e-9))
+    pg = (rows[-1]["probe_shuffle_kb_per_batch_doc"]
+          / max(rows[0]["probe_shuffle_kb_per_batch_doc"], 1e-9))
     md += ["",
            f"Probe wall grew {g:.2f}x across a 4.0x seen-corpus growth; the",
            "shuffle column shows what the probe actually moves: the batch's",
            "own shingles/sigs plus the candidate slice — the seen corpus's",
            "TEXT never reshuffles (semi-join before collect_set), only its",
-           "band-key index participates in the equi-join. At 10^12 docs the",
-           "index table would carry an Iceberg bucket(bh) partition",
-           "transform so the index side of that join is pre-partitioned and",
-           "only batch-side bytes move; the SnapshotCatalog emulation has",
-           "no bucket transform, so this demo still pays an index-side",
-           "shuffle that grows with seen size — visible in the table and",
-           "exactly what the bucket layout removes."]
+           "band-key index participates in the equi-join.",
+           "",
+           "The plain-parquet index still pays an index-side shuffle that",
+           f"grows with seen size ({pg:.2f}x KB/doc over the 4x growth).",
+           "The *bucketed* columns re-run the IDENTICAL probe against the",
+           "same index stored Hive-bucketed on the join key",
+           "(`bucketBy(32, band, bh)` + saveAsTable — the sandbox stand-in",
+           "for Iceberg's bucket(bh) partition transform): the equi-join",
+           "then plans NO Exchange on the index side, only the fixed-size",
+           "batch shuffles, and shuffle KB per batch doc moves",
+           f"{bg:.2f}x over the same 4x seen growth (vs {pg:.2f}x plain).",
+           "Same dup verdicts at every size (asserted in-run): the layout",
+           "changes cost, never answers. At 10^12 docs this is the",
+           "index-build-once / probe-cheap-forever shape: probe cost is",
+           "bounded by batch size + candidate count, not corpus history."]
     (REPO / "BENCH" / "IMHDEMO.md").write_text("\n".join(md) + "\n")
     print(json.dumps({"imhdemo": rows}))
     spark.stop()

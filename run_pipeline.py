@@ -11,6 +11,11 @@ Sandbox form (local[N] master picked up from $SPARK_GRAFT_CPUS):
 
     python run_pipeline.py --input ... --table ...
 
+A `--master` passed to spark-submit (yarn, k8s, local-cluster[...]) is
+honored end-to-end: the session factory defers to the launcher-provided
+master instead of overriding it (session.py; regression-tested in
+tests/test_spark_submit.py).
+
 Behavior:
   * reads the Common-Crawl-style pages table
     (url, warc_ts, html, text, lang);

@@ -279,3 +279,46 @@ def test_substring_spans_no_null_window(spark):
     short = df.filter(F.col("n_spans") == 0)
     assert short.filter(F.col("n_dup_spans") != 0).count() == 0
     assert df.filter(F.col("n_spans").isNull()).count() == 0
+
+
+def test_bucketed_index_join_has_no_index_side_exchange(spark, tmp_path):
+    """The IMHDEMO at-scale claim, codified: an equi-join between a
+    Hive-bucketed index table (bucketBy on the join key — the sandbox
+    stand-in for Iceberg's bucket(bh) transform) and a non-bucketed
+    probe side plans an Exchange ONLY on the probe side. The persisted
+    band index is read in place; only the day's batch shuffles, which
+    is what makes probe cost independent of corpus history at 10^12
+    docs."""
+    import pyspark.sql.functions as F
+
+    tbl = "test_bucketed_idx_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the shuffle-join path: broadcasting the tiny test probe would
+    # bypass the bucketing machinery this test is about
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (spark.range(2000)
+         .select((F.col("id") % 16).alias("band"),
+                 F.xxhash64("id").alias("bh"),
+                 F.col("id").alias("doc_id"))
+         .write.bucketBy(8, "band", "bh").sortBy("band", "bh")
+         .mode("overwrite").saveAsTable(tbl))
+        probe = spark.range(100).select(
+            (F.col("id") % 16).alias("band"),
+            F.xxhash64("id").alias("bh"),
+            F.col("id").alias("new_id"),
+        )
+        joined = spark.table(tbl).join(probe, ["band", "bh"])
+        plan = plan_of(joined)
+        # formatted explain prints each node twice (tree + detail header);
+        # count physical Exchange NODES via the numbered detail headers
+        import re
+
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange == 1, f"expected probe-side-only Exchange:\n{plan}"
+        # and the bucketed scan really is the shuffle-free side:
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -73,3 +73,61 @@ def test_spark_submit_py_files_zip_end_to_end():
     assert len(m["input_files"]) == 4
     mdir = table / "metrics" / m["snapshot_id"]
     assert list(mdir.glob("*.parquet"))
+
+
+def test_task_slots_parser():
+    from streamcorpus_filter_spark.session import _task_slots
+
+    assert _task_slots("local[8]") == 8
+    assert _task_slots("local[*]") == 32
+    assert _task_slots("local-cluster[8,2,3072]") == 16
+    assert _task_slots("local-cluster[2,4,2048]") == 8
+    # cluster URLs: the launcher's conf decides
+    assert _task_slots("yarn") is None
+    assert _task_slots("spark://host:7077") is None
+    assert _task_slots("k8s://https://host:443") is None
+
+
+def test_spark_submit_local_cluster_master_honored():
+    """get_spark() must NOT override a spark-submit-provided master: under
+    `--master local-cluster[2,2,2048]` the job has to run on 2 separate
+    executor JVMs (the north rule's multi-executor launch), not fall back
+    to single-JVM local[N]. Regression test for the builder.master()
+    override bug; also asserts the post-create shuffle-partition fixup
+    (slots=4 -> 8 floor)."""
+    work = pathlib.Path(tempfile.mkdtemp(prefix="submit_lc_"))
+    zip_path = work / "scfs.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "run_pipeline.py"), "--make-zip", str(zip_path)],
+        check=True, capture_output=True, cwd=REPO,
+    )
+    driver = work / "driver.py"
+    driver.write_text(
+        "import json, os\n"
+        "from streamcorpus_filter_spark.session import get_spark\n"
+        "spark = get_spark(app_name='lc-test')\n"
+        "ppids = sorted(set(spark.sparkContext.parallelize(range(8), 8)"
+        ".map(lambda _: __import__('os').getppid()).collect()))\n"
+        "print(json.dumps({'master': spark.conf.get('spark.master'),"
+        " 'shuffle': spark.conf.get('spark.sql.shuffle.partitions'),"
+        " 'n_executor_jvms': len(ppids)}))\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [
+            _spark_submit(), "--master", "local-cluster[2,2,2048]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(driver),
+        ],
+        capture_output=True, text=True, timeout=420, cwd=work, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert out["master"] == "local-cluster[2,2,2048]"
+    assert out["n_executor_jvms"] == 2
+    assert out["shuffle"] == "8"
