@@ -1230,7 +1230,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(f"""
     WITH batch AS ({_IMH_BATCH_SPARK}),
     cand_docs AS (
-      SELECT d.doc_id, d.text FROM docs_v d
+      -- BROADCAST the candidate-id set: a shuffle semi-join here would
+      -- move the whole seen corpus (measured in BENCH/IMHDEMO.md before
+      -- the hint: this join's twin was ~70% of probe shuffle and grew
+      -- linearly with seen size); candidates are band-collision-bounded
+      SELECT /*+ BROADCAST(c) */ d.doc_id, d.text FROM docs_v d
       LEFT SEMI JOIN imh_cands_v c ON c.doc_id = d.doc_id
     ),
     {_imh_spark_shingles("cand_docs", "doc_id").lstrip()},

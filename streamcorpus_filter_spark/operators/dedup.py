@@ -125,14 +125,24 @@ def verify_pairs_jaccard(
     collect_set: without it the verify stage shuffles every doc's full
     shingle list even though only candidate docs are ever looked at —
     measured 18s vs 3s at 21M shingle rows / 3.3k candidates, and at
-    crawl scale the difference is the whole corpus vs the near-dup slice."""
+    crawl scale the difference is the whole corpus vs the near-dup slice.
+
+    The id set is BROADCAST explicitly: left with a shuffle semi-join,
+    the stream side is the corpus's entire shingle table, so its shuffle
+    bytes grow with corpus size even though the output is candidates-only
+    (measured in BENCH/IMHDEMO.md: 214 MB -> 719 MB probe shuffle across
+    a 4x seen-corpus growth, all of it this semi-join). Candidate ids are
+    bounded by the band-collision count — orders of magnitude below the
+    corpus — so the broadcast turns the verify into a scan-side filter
+    with ZERO corpus-side shuffle; only the filtered candidate shingles
+    (seen-size-independent) shuffle into collect_set."""
     ids = (
         cands.select(F.col("a").alias(id_col))
         .unionByName(cands.select(F.col("b").alias(id_col)))
         .distinct()
     )
     sets_ = (
-        shingles.join(ids, id_col, "left_semi")
+        shingles.join(F.broadcast(ids), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("shset"))
     )

@@ -322,3 +322,41 @@ def test_bucketed_index_join_has_no_index_side_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_verify_pairs_candidate_semijoin_is_broadcast(spark):
+    """verify_pairs_jaccard must BROADCAST the candidate-id set into its
+    shingle semi-join. Left to size-based planning the semi-join sort-
+    merge-shuffles the STREAM side — the corpus's entire shingle table —
+    so probe shuffle grows with corpus history even though the output is
+    candidates-only (measured in BENCH/IMHDEMO.md: 214 MB -> 719 MB
+    across a 4x seen-corpus growth before the hint). Candidate ids are
+    band-collision-bounded, orders of magnitude below the corpus, so the
+    broadcast turns the verify into a scan-side filter."""
+    import pyspark.sql.functions as F
+
+    from streamcorpus_filter_spark.operators.dedup import (
+        verify_pairs_jaccard,
+        word_shingles,
+    )
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # prove it's the explicit hint, not size-based auto-broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                     F.col("id").cast("string")).alias("text"),
+        )
+        sh = word_shingles(docs, "doc_id", "text", k=3, hashed=True)
+        cands = spark.range(5).select(
+            F.col("id").alias("a"), (F.col("id") + 100).alias("b"))
+        plan = plan_of(verify_pairs_jaccard(cands, sh, "doc_id", 0.5))
+        assert "LeftSemi" in plan, plan
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+        import re
+
+        assert not re.search(r"SortMergeJoin.*LeftSemi", plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
