@@ -363,6 +363,51 @@ class SnapshotCatalog:
             expected_parent=base["snapshot_id"] if base else None,
         )
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        *,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Copy-on-write row deletion (Iceberg's ``DELETE FROM t WHERE
+        ...``): the current state minus matching rows is committed as one
+        merge snapshot, so incremental consumers refuse to cross it (a
+        deletion is a content change, not a compaction) and time travel
+        still sees the pre-delete rows. That last property is the whole
+        takedown/right-to-erasure story: ``delete_where`` alone removes
+        rows from the CURRENT state only — physical erasure of history is
+        ``delete_where`` + ``expire_snapshots``, exactly Iceberg's
+        two-step (DELETE then expire_snapshots/remove_orphan_files), and
+        tested as such (tests/test_compaction.py).
+
+        A predicate matching zero rows is a metadata-level no-op: no new
+        snapshot is committed and the latest manifest is returned
+        unchanged — rewriting a 100 TB table to delete nothing is the
+        kind of accident this guard exists for. The matched count is a
+        single pushed-predicate scan and lands in the commit's metrics as
+        ``deleted_records`` (Iceberg snapshot-summary analog). Raises
+        ConcurrentRewriteError if another writer commits underneath the
+        rewrite (lost-update guard, same as compact/upsert).
+
+        NULL semantics match SQL DELETE: a row is deleted only when the
+        predicate is TRUE — NULL-evaluating rows are KEPT, so the kept
+        filter is ``NOT coalesce(pred, false)``, not ``NOT pred`` (which
+        is NULL for NULL rows and would silently drop them uncounted)."""
+        base = self.latest_snapshot()
+        current = self.read(spark)
+        n_deleted = current.where(f"coalesce(({predicate}), false)").count()
+        if n_deleted == 0:
+            return base if base is not None else {}
+        kept = current.where(f"NOT coalesce(({predicate}), false)")
+        return self.append(
+            kept,
+            metrics={**(metrics or {}), "deleted_records": n_deleted,
+                     "delete_predicate": predicate},
+            operation="merge",
+            expected_parent=base["snapshot_id"] if base else None,
+        )
+
     # ----------------------------------------------------------- maintenance
 
     def expire_snapshots(self) -> dict:

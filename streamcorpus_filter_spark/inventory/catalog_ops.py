@@ -264,3 +264,33 @@ def sink_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
     cat.upsert(spark, updates, ["doc_id"])
     return cat.read(spark)
+
+
+@register(
+    "sink_delete_where",
+    """
+    SELECT doc_id, n_chars, lang, source FROM documents
+    WHERE NOT (source = 'src7' OR doc_id % 13 = 0)
+    """,
+)
+def sink_delete_where(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-on-write DELETE WHERE under the value-hash check — the
+    takedown / right-to-erasure verb every corpus owner eventually runs
+    (remove one source's docs plus a flagged id set). The table is seeded
+    across two appends, one delete_where commits the removal as a single
+    merge snapshot, and a second delete matching NOTHING must be a
+    metadata no-op (asserted in-query: same snapshot id) rather than a
+    pointless full-table rewrite. The oracle recomputes the survivors
+    straight off the fixture with the negated predicate."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_delete_"))
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "n_chars", "lang", "source"
+    )
+    cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    cat.append(docs.where(F.col("doc_id") % 2 == 1))
+    m = cat.delete_where(spark, "source = 'src7' OR doc_id % 13 = 0")
+    noop = cat.delete_where(spark, "source = 'no_such_source'")
+    assert noop["snapshot_id"] == m["snapshot_id"], (
+        "zero-match delete must not commit a new snapshot"
+    )
+    return cat.read(spark)

@@ -258,3 +258,89 @@ def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
         c.upsert(spark, dup_updates, key=["doc_id"])
     # nothing was committed and the table is unchanged
     assert c.read(spark).count() == docs.count()
+
+
+def test_delete_where_removes_only_true_rows_keeps_null(spark, tmp_path):
+    """SQL DELETE semantics: a row is deleted only when the predicate is
+    TRUE — NULL-evaluating rows are KEPT (the naive NOT(pred) filter is
+    NULL for them and would silently drop them uncounted)."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, None), (4, "en")],
+        "doc_id bigint, lang string",
+    ))
+    m = c.delete_where(spark, "lang = 'en'")
+    assert m["metrics"]["deleted_records"] == 2
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [2, 3]
+
+
+def test_delete_where_is_time_travelable_and_blocks_cdc(spark, tmp_path):
+    """The delete commits as a merge: time travel still sees the deleted
+    rows (erasure of history is delete + expire, tested below) and an
+    incremental scan refuses to cross it rather than silently dropping
+    the deletion."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    s1 = c.append(docs)["snapshot_id"]
+    c.delete_where(spark, "doc_id % 10 = 0")
+    assert c.read(spark, s1).count() == docs.count()  # history intact
+    with pytest.raises(ValueError, match="merge snapshot"):
+        c.read_incremental(spark, s1)
+
+
+def test_delete_then_expire_physically_erases(spark, tmp_path):
+    """The right-to-erasure two-step: delete_where removes rows from the
+    current state; expire_snapshots then deletes the pre-delete data
+    dirs, so the bytes are actually gone from disk."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    c.append(docs)
+    pre_dirs = {s["data_dir"] for s in c.snapshots()}
+    c.delete_where(spark, "doc_id % 10 = 0")
+    c.expire_snapshots()
+    surviving = {str(p) for p in (tmp_path / "tbl" / "data").iterdir()}
+    assert not (pre_dirs & surviving), "pre-delete data dirs still on disk"
+    assert c.read(spark).where("doc_id % 10 = 0").count() == 0
+
+
+def test_delete_where_zero_match_is_a_noop(spark, tmp_path):
+    """A predicate matching nothing must not rewrite the table: no new
+    snapshot, same manifest returned — at 100 TB an accidental no-match
+    DELETE would otherwise cost a full-table copy."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, "en")], "doc_id bigint, lang string"))
+    n_before = len(c.snapshots())
+    m = c.delete_where(spark, "lang = 'zz'")
+    assert len(c.snapshots()) == n_before
+    assert m["snapshot_id"] == c.latest_snapshot()["snapshot_id"]
+
+
+def test_delete_where_lost_update_guard(spark, tmp_path):
+    """An append committed underneath the delete's rewrite must fail the
+    delete (its kept-rows payload was derived from the stale base) —
+    same serializable-commit validation as compact/upsert."""
+    import threading
+
+    from streamcorpus_filter_spark.catalog import ConcurrentRewriteError
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, "en")], "doc_id bigint, lang string"))
+
+    orig_read = c.read
+
+    def racing_read(spark_, snapshot_id=None):
+        df = orig_read(spark_, snapshot_id)
+        # another writer lands between the delete's base pin and commit
+        if not getattr(racing_read, "raced", False):
+            racing_read.raced = True
+            c.append(spark.createDataFrame(
+                [(99, "de")], "doc_id bigint, lang string"))
+        return df
+
+    c.read = racing_read
+    with pytest.raises(ConcurrentRewriteError):
+        c.delete_where(spark, "lang = 'en'")
