@@ -254,3 +254,48 @@ def _write_one(spark, d: str, schema: str, rows: list[tuple], mtime: float) -> N
     shutil.rmtree(tmp)
     os.utime(dest, (mtime, mtime))
 
+
+
+def test_catalog_ingest_multibatch_exactly_once(spark, tmp_path):
+    """stream_sink_catalog's batch-id idempotence under MULTIPLE
+    micro-batches (the registered row is single-batch by staging): three
+    input files at maxFilesPerTrigger=1 become three append snapshots
+    with distinct batch ids; a replayed MIDDLE batch (foreachBatch's
+    at-least-once contract) must not re-commit, and the table holds each
+    row exactly once."""
+    from streamcorpus_filter_spark.catalog import SnapshotCatalog
+
+    src = tmp_path / "src"
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, i) for j in range(5)], "event_id bigint, part bigint"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+    cat = SnapshotCatalog(str(tmp_path / "tbl"))
+
+    def commit_batch(bdf, bid):
+        done = {s["metrics"].get("stream_batch_id") for s in cat.snapshots()}
+        if bid in done:
+            return
+        cat.append(bdf, metrics={"stream_batch_id": bid})
+
+    q = (
+        spark.readStream.schema("event_id bigint, part bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    snaps = cat.snapshots()
+    bids = sorted(s["metrics"]["stream_batch_id"] for s in snaps)
+    assert bids == [0, 1, 2], bids
+    n = len(snaps)
+    # replay the middle batch out-of-band -> must be a no-op
+    commit_batch(spark.range(5).selectExpr(
+        "id + 10 AS event_id", "CAST(1 AS BIGINT) AS part"), 1)
+    assert len(cat.snapshots()) == n
+    rows = sorted(r.event_id for r in cat.read(spark).collect())
+    assert rows == sorted(i * 10 + j for i in range(3) for j in range(5))
