@@ -408,7 +408,54 @@ class SnapshotCatalog:
             expected_parent=base["snapshot_id"] if base else None,
         )
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """The table's commit history as a DataFrame — Iceberg's
+        ``snapshots`` / ``history`` metadata tables: one row per snapshot
+        with (sequence, operation, n_rows), where n_rows is the row count
+        VISIBLE at that snapshot (the time-travel count, so an append
+        grows it, a delete shrinks it, a compact holds it flat). The
+        audit surface a table owner reads before trusting a dataset:
+        what happened, in what order, and how big the table was after
+        each commit. Counts come from parquet footer metadata (no-filter
+        counts never scan data pages), so this stays metadata-cheap even
+        on a huge table."""
+        rows = [
+            (s["sequence"], s["operation"],
+             self.read(spark, s["snapshot_id"]).count())
+            for s in self.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows, "sequence bigint, operation string, n_rows bigint"
+        )
+
     # ----------------------------------------------------------- maintenance
+
+    def remove_orphan_files(self) -> dict:
+        """Delete data dirs referenced by NO manifest (Iceberg's
+        ``remove_orphan_files``): a crash after the data write but before
+        the manifest commit — or a torn-down failed rewrite whose
+        best-effort cleanup itself died — leaves a dir no reader can ever
+        resolve but that holds real bytes (a full table copy, for
+        compact/upsert payloads). Safe by construction: the commit
+        protocol exposes a dir only via its manifest, so an unreferenced
+        dir is invisible to every reader past and future. Same
+        maintenance-window contract as expire_snapshots: don't race an
+        in-flight append's window between data write and manifest link —
+        Iceberg's own remove_orphan_files has the identical caveat and
+        gates on file age for that reason.
+
+        Returns ``{"removed_dirs": n}``."""
+        import shutil
+
+        referenced = {s["data_dir"] for s in self.snapshots()}
+        data_root = self.root / "data"
+        removed = 0
+        if data_root.exists():
+            for d in sorted(data_root.iterdir()):
+                if d.is_dir() and str(d) not in referenced:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed += 1
+        return {"removed_dirs": removed}
 
     def expire_snapshots(self) -> dict:
         """Expire every snapshot superseded by the latest rewrite

@@ -294,3 +294,35 @@ def sink_delete_where(spark: SparkSession, sf: str) -> DataFrame:
         "zero-match delete must not commit a new snapshot"
     )
     return cat.read(spark)
+
+
+@register(
+    "scan_table_history",
+    """
+    SELECT CAST(0 AS BIGINT) AS sequence, 'append' AS operation,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_rows
+    UNION ALL
+    SELECT 1, 'append', (SELECT count(*) FROM documents)
+    UNION ALL
+    SELECT 2, 'merge',
+           (SELECT count(*) FROM documents WHERE doc_id % 13 <> 0)
+    UNION ALL
+    SELECT 3, 'replace',
+           (SELECT count(*) FROM documents WHERE doc_id % 13 <> 0)
+    """,
+)
+def scan_table_history(spark: SparkSession, sf: str) -> DataFrame:
+    """The snapshots/history metadata table (Iceberg's audit surface)
+    under the value-hash check: two appends, a takedown delete, and a
+    compaction produce four commits whose (sequence, operation,
+    visible-row-count) trajectory the oracle recomputes from the fixture
+    — append grows the count, merge shrinks it by the deleted slice,
+    replace holds it flat. The provenance read a dataset consumer runs
+    before trusting a table."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_hist_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+    cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    cat.append(docs.where(F.col("doc_id") % 2 == 1))
+    cat.delete_where(spark, "doc_id % 13 = 0")
+    cat.compact(spark, target_files=1)
+    return cat.history(spark)

@@ -344,3 +344,42 @@ def test_delete_where_lost_update_guard(spark, tmp_path):
     c.read = racing_read
     with pytest.raises(ConcurrentRewriteError):
         c.delete_where(spark, "lang = 'en'")
+
+
+def test_remove_orphan_files_sweeps_unreferenced_dirs_only(spark, tmp_path):
+    """A crash between the data write and the manifest link leaves a dir
+    no manifest references; remove_orphan_files must delete exactly
+    those and never a referenced dir."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, "en")], "doc_id bigint, lang string"))
+    referenced = {s["data_dir"] for s in c.snapshots()}
+    orphan = tmp_path / "tbl" / "data" / "deadbeefdeadbeef"
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_bytes(b"torn write")
+    got = c.remove_orphan_files()
+    assert got == {"removed_dirs": 1}
+    on_disk = {str(p) for p in (tmp_path / "tbl" / "data").iterdir()}
+    assert on_disk == referenced
+    assert c.read(spark).count() == 1  # table unharmed
+
+
+def test_history_tracks_growth_shrink_and_flat(spark, tmp_path):
+    """history() is the audit surface: visible-row-count trajectory per
+    commit — append grows, delete shrinks, compact holds flat."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    n = docs.count()
+    c.append(docs.where("doc_id % 2 = 0"))
+    c.append(docs.where("doc_id % 2 = 1"))
+    c.delete_where(spark, "doc_id % 10 = 0")
+    c.compact(spark, target_files=1)
+    h = {r.sequence: (r.operation, r.n_rows)
+         for r in c.history(spark).collect()}
+    n_even = docs.where("doc_id % 2 = 0").count()
+    n_del = docs.where("doc_id % 10 = 0").count()
+    assert h[0] == ("append", n_even)
+    assert h[1] == ("append", n)
+    assert h[2] == ("merge", n - n_del)
+    assert h[3] == ("replace", n - n_del)
