@@ -326,3 +326,57 @@ def scan_table_history(spark: SparkSession, sf: str) -> DataFrame:
     cat.delete_where(spark, "doc_id % 13 = 0")
     cat.compact(spark, target_files=1)
     return cat.history(spark)
+
+
+@register(
+    "sink_sorted_layout",
+    """
+    SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE n_chars < 600 GROUP BY lang
+    """,
+)
+def sink_sorted_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Sort-ordered table layout (Iceberg's write sort-order / binpack):
+    repartitionByRange + sortWithinPartitions on the cluster key before
+    the snapshot write, so every data file owns a DISJOINT n_chars range
+    — asserted in-query from the parquet footers (pairwise
+    prev.max < cur.min; the range partitioner sends equal keys to one
+    partition, so boundaries are strict). That layout is the 100 TB scan
+    lever: a predicate on the cluster key prunes whole files from their
+    footer stats instead of reading them (row-group min/max skipping),
+    which partitionBy can't give for a high-cardinality numeric key. The
+    value check then runs a range-filtered aggregation through the
+    clustered table against the fixture oracle."""
+    import pyarrow.parquet as pq
+
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_sorted_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+    clustered = docs.repartitionByRange(8, "n_chars").sortWithinPartitions(
+        "n_chars"
+    )
+    snap = cat.append(clustered)
+    # layout property, from the footers the scanner itself prunes with
+    import pathlib as _pl
+
+    ranges = []
+    for f in sorted(_pl.Path(snap["data_dir"]).glob("*.parquet")):
+        md = pq.read_metadata(f)
+        if md.num_row_groups == 0:  # empty range partition at tiny sf
+            continue
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats = [
+            md.row_group(g).column(col_idx["n_chars"]).statistics
+            for g in range(md.num_row_groups)
+        ]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) >= 2, "clustering demo needs multiple data files"
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, f"files overlap on the cluster key: {ranges}"
+    return (
+        cat.read(spark)
+        .where(F.col("n_chars") < 600)
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"),
+             F.sum("n_chars").cast("bigint").alias("chars"))
+    )
