@@ -398,7 +398,9 @@ class SnapshotCatalog:
         current = self.read(spark)
         n_deleted = current.where(f"coalesce(({predicate}), false)").count()
         if n_deleted == 0:
-            return base if base is not None else {}
+            # base can't be None here: read() above already raises on an
+            # empty catalog, so a zero-match no-op always has a manifest
+            return base
         kept = current.where(f"NOT coalesce(({predicate}), false)")
         return self.append(
             kept,
@@ -413,17 +415,28 @@ class SnapshotCatalog:
         ``snapshots`` / ``history`` metadata tables: one row per snapshot
         with (sequence, operation, n_rows), where n_rows is the row count
         VISIBLE at that snapshot (the time-travel count, so an append
-        grows it, a delete shrinks it, a compact holds it flat). The
-        audit surface a table owner reads before trusting a dataset:
-        what happened, in what order, and how big the table was after
-        each commit. Counts come from parquet footer metadata (no-filter
-        counts never scan data pages), so this stays metadata-cheap even
-        on a huge table."""
-        rows = [
-            (s["sequence"], s["operation"],
-             self.read(spark, s["snapshot_id"]).count())
-            for s in self.snapshots()
-        ]
+        grows it, a delete shrinks it, a compact holds it flat).
+
+        Genuinely metadata-only: ONE pass over the manifest chain, each
+        snapshot's own data dir counted once from its parquet FOOTERS
+        (pyarrow metadata — no Spark job, no data pages), with the
+        visible count accumulated forward — append adds its dir's rows,
+        replace/merge resets to its dir's rows (full-state rewrites by
+        the commit contract). The first version of this method ran one
+        time-travel count() job per snapshot and re-parsed the whole
+        chain each time — O(n²) manifest parses and n Spark jobs, which
+        on a streaming-ingest table (one snapshot per micro-batch) made
+        the audit read the most expensive query on the table."""
+        import pyarrow.parquet as pq
+
+        rows, visible = [], 0
+        for s in self.snapshots():
+            n = sum(
+                pq.read_metadata(f).num_rows
+                for f in pathlib.Path(s["data_dir"]).rglob("*.parquet")
+            )
+            visible = n if s["operation"] in ("replace", "merge") else visible + n
+            rows.append((s["sequence"], s["operation"], visible))
         return spark.createDataFrame(
             rows, "sequence bigint, operation string, n_rows bigint"
         )
@@ -447,12 +460,20 @@ class SnapshotCatalog:
         Returns ``{"removed_dirs": n}``."""
         import shutil
 
-        referenced = {s["data_dir"] for s in self.snapshots()}
+        # compare by dir BASENAME (the snapshot id that keyed the dir at
+        # append time), never by raw path string: a manifest written from
+        # another working directory, a symlinked mount, or a relocated
+        # table would make every referenced absolute path mismatch the
+        # local str(d) — and a GC that fails that comparison deletes the
+        # whole live table. Basename identity survives all of those.
+        referenced = {
+            pathlib.Path(s["data_dir"]).name for s in self.snapshots()
+        }
         data_root = self.root / "data"
         removed = 0
         if data_root.exists():
             for d in sorted(data_root.iterdir()):
-                if d.is_dir() and str(d) not in referenced:
+                if d.is_dir() and d.name not in referenced:
                     shutil.rmtree(d, ignore_errors=True)
                     removed += 1
         return {"removed_dirs": removed}

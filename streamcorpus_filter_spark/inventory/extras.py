@@ -403,6 +403,25 @@ def emb_label_centroid(spark: SparkSession, sf: str) -> DataFrame:
 
 _SRC_CACHE: dict[tuple[str, str, str], str] = {}
 
+WARC_MAGIC = "WARC/1.0\n"
+_WARC_HEADER_PREFIX = "WARC-Type: response\nWARC-Target-URI: "
+
+
+def warc_record(doc_id_col: str, text_col: str):
+    """The ONE definition of the demo WARC framing (writer, reader guard,
+    and framing tests all import it — a private copy in each would let
+    the tests keep passing against stale framing while the writer
+    drifts): version line, minimal headers, blank line, payload. One
+    text-sink row per record; the sink's row separator supplies the
+    record-terminating newline."""
+    return F.concat(
+        F.lit(WARC_MAGIC + _WARC_HEADER_PREFIX
+              + "http://corp.example.com/doc/"),
+        F.col(doc_id_col).cast("string"),
+        F.lit("\nContent-Type: text/plain\n\n"),
+        F.col(text_col),
+    )
+
 
 def _staged(spark: SparkSession, sf: str, fmt: str) -> str:
     """documents re-materialized once per (app, sf) in csv/json so the
@@ -413,17 +432,8 @@ def _staged(spark: SparkSession, sf: str, fmt: str) -> str:
         d = tempfile.mkdtemp(prefix=f"src_{fmt}_")
         docs = load(spark, sf, "documents").coalesce(2)
         if fmt == "warc":
-            # WARC-style response records: version line, minimal headers,
-            # blank line, payload. One text row per record — the sink's
-            # row separator supplies the record-terminating newline.
-            (docs.select(F.concat(
-                F.lit("WARC/1.0\n"
-                      "WARC-Type: response\n"
-                      "WARC-Target-URI: http://corp.example.com/doc/"),
-                F.col("doc_id").cast("string"),
-                F.lit("\nContent-Type: text/plain\n\n"),
-                F.col("text"),
-            ).alias("value")).write.mode("overwrite").text(d))
+            (docs.select(warc_record("doc_id", "text").alias("value"))
+             .write.mode("overwrite").text(d))
         elif fmt == "csv":
             docs.write.mode("overwrite").option("header", "true").option(
                 "compression", "gzip"
@@ -488,16 +498,55 @@ def scan_warc(spark: SparkSession, sf: str) -> DataFrame:
     Emulation caveat, stated honestly: real WARC frames payloads by
     Content-Length (a payload may legally CONTAIN the bytes
     ``WARC/1.0\\n``); a delimiter split cannot express that, so this
-    reader asserts record count == doc count and is the right shape only
-    for payloads without the magic — a production reader swaps the split
-    for a length-framed record iterator at the same seam."""
+    reader REFUSES loudly on collision rather than returning a corrupted
+    corpus — a production reader swaps the split for a length-framed
+    record iterator at the same seam. Four guards, because a collision
+    corrupts in distinct ways: (1) a mid-payload magic leaves a piece
+    that does not start with the record header -> header check; (2) a
+    payload ending in the magic MID-FILE splits into a silently-truncated
+    valid-looking record plus an EMPTY piece -> empty pieces must equal
+    the file count exactly (one pre-first-delimiter empty per file); (3)
+    the same at END-of-file leaves no extra piece at all (a trailing
+    lineSep is swallowed), so the only witness is BYTES: per corpus,
+    file bytes == piece bytes + (pieces - files) separators — an
+    EOF-consumed magic is len(magic) of unaccounted input; (4) a forged
+    full record inside a payload parses cleanly -> record count must
+    equal doc count."""
+    import pathlib as _pl
+
+    src = _staged(spark, sf, "warc")
     raw = (
-        spark.read.option("lineSep", "WARC/1.0\n")
-        .text(_staged(spark, sf, "warc"))
-        .where(F.length("value") > 0)  # drop the empty pre-first-delim piece
+        spark.read.option("lineSep", WARC_MAGIC)
+        .text(src)
+        .withColumn("_f", F.input_file_name())
+    )
+    chk = raw.agg(
+        F.sum((F.length("value") == 0).cast("long")).alias("n_empty"),
+        F.countDistinct("_f").alias("n_files"),
+        F.sum(
+            ((F.length("value") > 0)
+             & ~F.col("value").startswith(_WARC_HEADER_PREFIX)).cast("long")
+        ).alias("n_bad"),
+        F.count("*").alias("n_pieces"),
+        F.sum(F.octet_length("value")).alias("piece_bytes"),
+    ).first()
+    assert chk.n_bad == 0, (
+        f"delimiter collision: {chk.n_bad} pieces lack the record header"
+    )
+    assert chk.n_empty == chk.n_files, (
+        "delimiter collision: payload ending in the record magic "
+        f"({chk.n_empty} empty pieces vs {chk.n_files} files)"
+    )
+    file_bytes = sum(
+        f.stat().st_size for f in _pl.Path(src).glob("part-*")
+    )
+    expected = chk.piece_bytes + (chk.n_pieces - chk.n_files) * len(WARC_MAGIC)
+    assert file_bytes == expected, (
+        "delimiter collision: payload ending in the record magic at EOF "
+        f"({file_bytes} file bytes vs {expected} reconstructed)"
     )
     header = F.substring_index("value", "\n\n", 1)
-    parsed = raw.select(
+    parsed = raw.where(F.length("value") > 0).select(
         F.regexp_extract(
             header, r"WARC-Target-URI: http://corp\.example\.com/doc/(\d+)", 1
         ).cast("bigint").alias("doc_id"),

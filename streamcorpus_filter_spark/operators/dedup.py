@@ -113,7 +113,12 @@ def jaccard_pairs(
 
 
 def verify_pairs_jaccard(
-    cands: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+    cands: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    *,
+    max_broadcast_ids: int = 10_000_000,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY on candidate pairs (a, b) — the LSH
     scale path: join each side to its collected shingle set, then
@@ -135,14 +140,24 @@ def verify_pairs_jaccard(
     bounded by the band-collision count — orders of magnitude below the
     corpus — so the broadcast turns the verify into a scan-side filter
     with ZERO corpus-side shuffle; only the filtered candidate shingles
-    (seen-size-independent) shuffle into collect_set."""
+    (seen-size-independent) shuffle into collect_set.
+
+    The broadcast is guarded, not unconditional: on a pathological input
+    (dirty corpus, too-low band/threshold) candidates can approach corpus
+    size, and a forced broadcast of that id set is a driver/executor OOM
+    where a shuffle semi-join is merely slow. One count() prices the set;
+    past ``max_broadcast_ids`` (10M ids ≈ 80 MB of BIGINTs, comfortably
+    broadcastable) the plan falls back to the shuffle semi-join — the
+    escape hatch size-based planning would have provided."""
     ids = (
         cands.select(F.col("a").alias(id_col))
         .unionByName(cands.select(F.col("b").alias(id_col)))
         .distinct()
     )
+    if ids.count() <= max_broadcast_ids:
+        ids = F.broadcast(ids)
     sets_ = (
-        shingles.join(F.broadcast(ids), id_col, "left_semi")
+        shingles.join(ids, id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("shset"))
     )

@@ -288,12 +288,13 @@ def test_cluster_components_long_chain_converges(spark, reg):
     assert chain_labels == {1}, sorted(chain_labels)
 
 
-def test_warc_framing_roundtrips_nasty_payloads(spark, tmp_path):
+def test_warc_framing_roundtrips_nasty_payloads(spark, reg, tmp_path, monkeypatch):
     """The WARC reader's framing edges: empty payload, payload with
     embedded newlines AND blank lines, payload ending in a newline —
-    all must round-trip byte-exactly through write -> lineSep split ->
-    header/payload recovery."""
-    import pyspark.sql.functions as F
+    all must round-trip byte-exactly through the REAL scan_warc reader
+    (staged via the shared warc_record framing, so writer/reader/test
+    can never drift apart)."""
+    import streamcorpus_filter_spark.inventory.extras as ex
 
     payloads = {
         1: "",
@@ -306,58 +307,42 @@ def test_warc_framing_roundtrips_nasty_payloads(spark, tmp_path):
         list(payloads.items()), "doc_id bigint, text string"
     )
     d = str(tmp_path / "warc")
-    (df.select(F.concat(
-        F.lit("WARC/1.0\n"
-              "WARC-Type: response\n"
-              "WARC-Target-URI: http://corp.example.com/doc/"),
-        F.col("doc_id").cast("string"),
-        F.lit("\nContent-Type: text/plain\n\n"),
-        F.col("text"),
-    ).alias("value")).coalesce(1).write.text(d))
-
-    raw = (spark.read.option("lineSep", "WARC/1.0\n").text(d)
-           .where(F.length("value") > 0))
-    header = F.substring_index("value", "\n\n", 1)
-    parsed = raw.select(
-        F.regexp_extract(
-            header, r"WARC-Target-URI: http://corp\.example\.com/doc/(\d+)", 1
-        ).cast("bigint").alias("doc_id"),
-        F.regexp_replace(
-            F.expr("substring(value, length(substring_index(value, '\n\n', 1)) + 3)"),
-            "\n\\z", "",
-        ).alias("text"),
-    )
-    got = {r.doc_id: r.text for r in parsed.collect()}
+    (df.select(ex.warc_record("doc_id", "text").alias("value"))
+     .coalesce(1).write.text(d))
+    key = (spark.sparkContext.applicationId, SF_SMALL, "warc")
+    monkeypatch.setitem(ex._SRC_CACHE, key, d)
+    monkeypatch.setattr(ex, "load", lambda s_, sf_, tbl: df.select("doc_id"))
+    got = {r.doc_id: r.text for r in ex.scan_warc(spark, SF_SMALL).collect()}
     assert got == payloads
 
 
-def test_warc_scan_detects_delimiter_collision(spark, reg, tmp_path, monkeypatch):
-    """A payload containing the record magic splits into a bogus extra
-    record — the reader must refuse loudly (the documented seam where a
-    production reader swaps in Content-Length framing), never return a
-    corrupted corpus."""
-    import pyspark.sql.functions as F
-
+@pytest.mark.parametrize(
+    "evil",
+    [
+        "mid-payload magic\nWARC/1.0\nrest of payload",
+        "payload ending in the magic\nWARC/1.0",
+        "forged full record\nWARC/1.0\nWARC-Type: response\n"
+        "WARC-Target-URI: http://corp.example.com/doc/999\n\nfake payload",
+    ],
+    ids=["mid_magic", "trailing_magic", "forged_record"],
+)
+def test_warc_scan_detects_delimiter_collision(
+    spark, reg, tmp_path, monkeypatch, evil
+):
+    """A payload containing the record magic corrupts the split three
+    distinct ways — a bogus headerless piece, a silently-truncated
+    record plus an empty piece, or a forged full record — and the reader
+    must refuse loudly on EACH (the documented seam where a production
+    reader swaps in Content-Length framing), never return a corrupted
+    corpus."""
     import streamcorpus_filter_spark.inventory.extras as ex
 
-    df = spark.createDataFrame(
-        [(1, "evil payload containing\nWARC/1.0\nthe record magic")],
-        "doc_id bigint, text string",
-    )
+    df = spark.createDataFrame([(1, evil)], "doc_id bigint, text string")
     d = str(tmp_path / "warc")
-    (df.select(F.concat(
-        F.lit("WARC/1.0\n"
-              "WARC-Type: response\n"
-              "WARC-Target-URI: http://corp.example.com/doc/"),
-        F.col("doc_id").cast("string"),
-        F.lit("\nContent-Type: text/plain\n\n"),
-        F.col("text"),
-    ).alias("value")).coalesce(1).write.text(d))
+    (df.select(ex.warc_record("doc_id", "text").alias("value"))
+     .coalesce(1).write.text(d))
     key = (spark.sparkContext.applicationId, SF_SMALL, "warc")
     monkeypatch.setitem(ex._SRC_CACHE, key, d)
-    monkeypatch.setattr(
-        ex, "load",
-        lambda spark_, sf_, tbl: df.select("doc_id"),
-    )
+    monkeypatch.setattr(ex, "load", lambda s_, sf_, tbl: df.select("doc_id"))
     with pytest.raises(AssertionError, match="delimiter collision"):
         ex.scan_warc(spark, SF_SMALL)
