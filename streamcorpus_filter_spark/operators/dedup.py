@@ -153,6 +153,10 @@ def verify_pairs_jaccard(
         cands.select(F.col("a").alias(id_col))
         .unionByName(cands.select(F.col("b").alias(id_col)))
         .distinct()
+        # materialize once: the guard's count() and the semi-join below
+        # would otherwise each re-execute the candidate-generation plan
+        # (typically a band equi-join) from scratch
+        .localCheckpoint(eager=True)
     )
     if ids.count() <= max_broadcast_ids:
         ids = F.broadcast(ids)
