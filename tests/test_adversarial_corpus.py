@@ -88,6 +88,12 @@ QUERIES_UNDER_TEST = [
     "dedup_incremental_minhash",
     "dedup_url_keep_latest",
     "dedup_containment",
+    # round-4 late: WARC framing must round-trip the tabs/newlines/empty
+    # texts byte-exactly; the catalog verbs must survive them too
+    "scan_warc",
+    "sink_delete_where",
+    "scan_table_history",
+    "sink_sorted_layout",
 ]
 
 _TEXTS = [
