@@ -1,0 +1,125 @@
+"""Model-based property test for the snapshot catalog's mutation verbs.
+
+Hypothesis drives random sequences of append / delete_where / upsert /
+compact against a SnapshotCatalog while a plain Python dict plays the
+same sequence as the reference model. Invariants after every sequence:
+
+  * read() equals the model state exactly (ids AND values);
+  * history()'s final visible-row-count equals the model size, and the
+    whole trajectory equals the model's size after each commit;
+  * time travel to any snapshot that survived expiry equals the model's
+    state at that commit;
+  * delete + expire + remove_orphan_files leaves only dirs that
+    surviving manifests reference.
+
+The single-op unit tests (test_compaction.py) pin each verb's contract;
+this test hunts the INTERACTIONS — e.g. a delete after a compact after
+an upsert, where a wrong parent chain or a stale full-state assumption
+would corrupt silently.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import tempfile
+
+import pyspark.sql.functions as F  # noqa: F401  (parity with suite style)
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from streamcorpus_filter_spark.catalog import SnapshotCatalog
+
+# ops: ("append", start_id, n) | ("delete", mod) | ("upsert", ids) |
+# ("compact",)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 2), st.integers(1, 4)),
+        st.tuples(st.just("delete"), st.integers(2, 5)),
+        st.tuples(st.just("upsert"), st.lists(
+            st.integers(0, 11), min_size=1, max_size=3, unique=True)),
+        st.tuples(st.just("compact")),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_OPS)
+def test_catalog_mutations_match_model(spark, ops):
+    root = tempfile.mkdtemp(prefix="cat_model_")
+    cat = SnapshotCatalog(root)
+    model: dict[int, int] = {}
+    trajectory: list[int] = []  # model size after each committed snapshot
+    checkpoints: list[tuple[str, dict[int, int]]] = []
+    version = 0
+
+    # seed so delete/upsert/compact have something to act on
+    seed = {i: 0 for i in range(4)}
+    cat.append(spark.createDataFrame(
+        sorted(seed.items()), "doc_id bigint, v bigint"))
+    model.update(seed)
+    trajectory.append(len(model))
+    checkpoints.append((cat.latest_snapshot()["snapshot_id"], dict(model)))
+
+    for op in ops:
+        version += 1
+        if op[0] == "append":
+            _, start, n = op
+            batch = {start * 100 + j + 10: version for j in range(n)}
+            # catalog appends are new logical rows; keep model keys new too
+            batch = {k: v for k, v in batch.items() if k not in model}
+            if not batch:
+                continue
+            cat.append(spark.createDataFrame(
+                sorted(batch.items()), "doc_id bigint, v bigint"))
+            model.update(batch)
+        elif op[0] == "delete":
+            mod = op[1]
+            doomed = {k for k in model if k % mod == 0}
+            m = cat.delete_where(spark, f"doc_id % {mod} = 0")
+            if not doomed:
+                # zero-match delete is a metadata no-op: same snapshot
+                assert m["snapshot_id"] == checkpoints[-1][0]
+                continue  # no commit, no trajectory entry
+            for k in doomed:
+                del model[k]
+        elif op[0] == "upsert":
+            ids = op[1]
+            updates = {k: version for k in ids}
+            cat.upsert(spark, spark.createDataFrame(
+                sorted(updates.items()), "doc_id bigint, v bigint"),
+                ["doc_id"])
+            model.update(updates)
+        else:
+            cat.compact(spark, target_files=1)
+        trajectory.append(len(model))
+        checkpoints.append(
+            (cat.latest_snapshot()["snapshot_id"], dict(model)))
+
+    # read() == model
+    got = {r.doc_id: r.v for r in cat.read(spark).collect()}
+    assert got == model
+
+    # history trajectory == model sizes per commit
+    hist = [r.n_rows for r in sorted(
+        cat.history(spark).collect(), key=lambda r: r.sequence)]
+    assert hist == trajectory
+
+    # time travel to every checkpoint reproduces the model state then
+    for snap_id, state in checkpoints:
+        tt = {r.doc_id: r.v for r in cat.read(spark, snap_id).collect()}
+        assert tt == state, snap_id
+
+    # maintenance end-state: GC leaves exactly the referenced dirs
+    cat.expire_snapshots()
+    cat.remove_orphan_files()
+    referenced = {
+        pathlib.Path(s["data_dir"]).name for s in cat.snapshots()
+    }
+    on_disk = {
+        p.name for p in (pathlib.Path(root) / "data").iterdir() if p.is_dir()
+    }
+    assert on_disk == referenced
+    got2 = {r.doc_id: r.v for r in cat.read(spark).collect()}
+    assert got2 == model
