@@ -380,3 +380,35 @@ def sink_sorted_layout(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("docs"),
              F.sum("n_chars").cast("bigint").alias("chars"))
     )
+
+
+@register(
+    "scan_partition_evolution",
+    """
+    SELECT lang, source, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def scan_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-spec evolution (Iceberg's headline metadata trick): the
+    first snapshot is partitioned by lang, a later append by source, and
+    ONE read unions both layouts with no data rewrite — possible because
+    every snapshot dir is loaded with its own basePath + recorded
+    schema, so each layout's partition values come back typed from its
+    own directory structure (catalog.py _read_snapshots). On a 100 TB
+    table this is the difference between re-laying-out history to change
+    a partition key and an O(metadata) spec change that only affects new
+    writes. Value-checked by aggregating across both layouts."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_pevo_"))
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "n_chars", "lang", "source"
+    )
+    cat.append(docs.where(F.col("doc_id") % 2 == 0), partition_by=["lang"])
+    cat.append(docs.where(F.col("doc_id") % 2 == 1), partition_by=["source"])
+    return (
+        cat.read(spark)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("docs"),
+             F.sum("n_chars").cast("bigint").alias("chars"))
+    )
