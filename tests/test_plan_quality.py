@@ -360,3 +360,36 @@ def test_verify_pairs_candidate_semijoin_is_broadcast(spark):
         assert not re.search(r"SortMergeJoin.*LeftSemi", plan), plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_catalog_partitioned_read_prunes_partitions(spark, tmp_path):
+    """A filter on the partition key through SnapshotCatalog.read() must
+    reach the scan as a PartitionFilter and shrink the actual file set —
+    the property that makes a lang/source-partitioned 100 TB table
+    readable: a one-language query touches one directory subtree, not
+    the corpus. Regression risk: read() passes an explicit schema plus
+    basePath per snapshot dir; get either wrong and Spark silently falls
+    back to post-scan filtering over every file."""
+    import pyspark.sql.functions as F
+
+    from streamcorpus_filter_spark.catalog import SnapshotCatalog
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars", "lang"
+    )
+    c.append(docs, partition_by=["lang"])
+    filtered = c.read(spark).where(F.col("lang") == "en")
+    plan = plan_of(filtered)
+    # the lang predicate must land in PartitionFilters (directory-level
+    # pruning), NOT in PushedFilters (per-file data filtering) — note
+    # inputFiles() can't evidence this: it lists the pre-pruning index
+    part = plan.split("PartitionFilters")[1][:160]
+    assert "lang" in part, plan
+    # a fully-pruned plan has NO PushedFilters section at all (no data
+    # filters survive); if one exists, lang must not be in it
+    if "PushedFilters" in plan:
+        assert "lang" not in plan.split("PushedFilters")[1][:160], plan
+    # and the pruned read still returns exactly the partition's rows
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert filtered.count() == n_en
