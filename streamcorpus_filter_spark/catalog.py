@@ -252,8 +252,79 @@ class SnapshotCatalog:
                 return chain[i:]
         return chain
 
-    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
-        """Table state as of ``snapshot_id`` (default: latest)."""
+    # ------------------------------------------------------------- tags
+
+    def tag(self, name: str, snapshot_id: str | None = None) -> dict:
+        """Name a snapshot (Iceberg tags — the dataset-release workflow:
+        "train-v1 is the exact table this model was trained on").
+        Defaults to the latest snapshot. Tag files commit with the same
+        tmp + os.link protocol as manifests, so racing taggers get a
+        clean 'already exists' instead of one silently shadowing the
+        other. Tagged snapshots are PROTECTED from expire_snapshots
+        (Iceberg's retention rule): expiry keeps the tag's entire read
+        set — every manifest from the tag's last rewrite up to the tag —
+        because dropping any of them would make the tagged read silently
+        return partial state."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        if snapshot_id is None:
+            latest = self.latest_snapshot()
+            if latest is None:
+                raise ValueError("cannot tag an empty catalog")
+            snapshot_id = latest["snapshot_id"]
+        elif all(s["snapshot_id"] != snapshot_id for s in self.snapshots()):
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        tags_dir = self.root / "tags"
+        tags_dir.mkdir(exist_ok=True)
+        payload = {
+            "name": name,
+            "snapshot_id": snapshot_id,
+            "created_at": time.time(),
+        }
+        tmp = tags_dir / f".tmp-{name}"
+        tmp.write_text(json.dumps(payload, indent=2))
+        try:
+            os.link(tmp, tags_dir / f"{name}.json")
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        return payload
+
+    def tags(self) -> dict[str, str]:
+        """All tags as {name: snapshot_id}."""
+        tags_dir = self.root / "tags"
+        if not tags_dir.exists():
+            return {}
+        return {
+            (t := json.loads(p.read_text()))["name"]: t["snapshot_id"]
+            for p in sorted(tags_dir.glob("*.json"))
+        }
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag (its snapshot becomes expirable again)."""
+        p = self.root / "tags" / f"{name}.json"
+        if not p.exists():
+            raise KeyError(f"unknown tag {name!r}")
+        p.unlink()
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        *,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Table state as of ``snapshot_id`` / ``tag`` (default: latest)."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            try:
+                snapshot_id = self.tags()[tag]
+            except KeyError:
+                raise KeyError(f"unknown tag {tag!r}") from None
         chain = self._chain(snapshot_id)
         if not chain:
             raise ValueError(f"catalog {self.root} has no snapshots")
@@ -499,7 +570,8 @@ class SnapshotCatalog:
         but file deletes are not). Appends/rewrites racing an expiry are
         safe: they only ever create new sequence numbers.
 
-        Returns ``{"expired": n_manifests, "removed_dirs": n_dirs}``."""
+        Returns ``{"expired": n_manifests, "removed_dirs": n_dirs,
+        "protected": n_tag_protected}``."""
         import shutil
 
         ms = self._manifests()
@@ -511,7 +583,28 @@ class SnapshotCatalog:
                 break
         if cut is None or cut == 0:
             return {"expired": 0, "removed_dirs": 0}
-        keep_dirs = {s["data_dir"] for s in snaps[cut:]}
+        # tagged snapshots are protected (Iceberg's retention rule), and
+        # protection must cover the tag's whole READ SET — every snapshot
+        # from the tag's last rewrite up to the tag — because expiring
+        # any of those would make read(tag=...) silently return partial
+        # state (the chain unions whatever manifests survive)
+        protected: set[str] = set()
+        by_id = {s["snapshot_id"]: i for i, s in enumerate(snaps)}
+        for sid in self.tags().values():
+            j = by_id.get(sid)
+            if j is None or j >= cut:
+                continue
+            start = 0
+            for i in range(j, -1, -1):
+                if snaps[i].get("operation") in self._REWRITE_OPS:
+                    start = i
+                    break
+            protected.update(s["snapshot_id"] for s in snaps[start : j + 1])
+        keep_dirs = {s["data_dir"] for s in snaps[cut:]} | {
+            s["data_dir"]
+            for s in snaps[:cut]
+            if s["snapshot_id"] in protected
+        }
         # fold the expired snapshots' input-file lineage into the
         # surviving replace manifest FIRST (atomic tmp+rename), so
         # processed_inputs() — the resume checkpoint — is invariant
@@ -530,6 +623,8 @@ class SnapshotCatalog:
         # manifests first (readers resolve via manifests, so once these
         # are gone the data dirs are unreachable), then the orphan dirs
         for p, s in zip(ms[:cut], snaps[:cut]):
+            if s["snapshot_id"] in protected:
+                continue
             p.unlink()
             expired += 1
         for s in snaps[:cut]:
@@ -537,7 +632,8 @@ class SnapshotCatalog:
             if s["data_dir"] not in keep_dirs and d.exists():
                 shutil.rmtree(d)
                 removed += 1
-        return {"expired": expired, "removed_dirs": removed}
+        return {"expired": expired, "removed_dirs": removed,
+                "protected": len(protected)}
 
     # -------------------------------------------------------------- resume
 

@@ -189,7 +189,7 @@ def sink_expire_snapshots(spark: SparkSession, sf: str) -> DataFrame:
         cat.append(docs.where(F.col("doc_id") % 5 == i))
     cat.compact(spark, target_files=2)
     stats = cat.expire_snapshots()
-    if stats != {"expired": 4, "removed_dirs": 4}:
+    if (stats["expired"], stats["removed_dirs"]) != (4, 4):
         raise AssertionError(f"expiry did not GC the fragments: {stats}")
     cat.append(docs.where(F.col("doc_id") % 5 == 4))
     return (
@@ -412,3 +412,30 @@ def scan_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("docs"),
              F.sum("n_chars").cast("bigint").alias("chars"))
     )
+
+
+@register(
+    "scan_tagged_release",
+    """
+    SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def scan_tagged_release(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot tags (Iceberg tags) — the dataset-release workflow:
+    "train-v1 is the exact table this model was trained on". The first
+    append is tagged train-v1, then the table moves on (append, takedown
+    delete, compaction) and expire_snapshots GCs the superseded history
+    — but the tagged snapshot's read set is PROTECTED from expiry
+    (Iceberg's retention rule), so read(tag="train-v1") still returns
+    exactly the even docs the oracle recomputes, byte-for-byte, after
+    the GC ran. An untagged sibling of that vintage would be gone."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_tag_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    cat.tag("train-v1")
+    cat.append(docs.where(F.col("doc_id") % 2 == 1))
+    cat.delete_where(spark, "doc_id % 13 = 0")
+    cat.compact(spark, target_files=1)
+    stats = cat.expire_snapshots()
+    assert stats["protected"] >= 1, stats  # the tag actually shielded it
+    return cat.read(spark, tag="train-v1")

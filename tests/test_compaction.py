@@ -89,7 +89,7 @@ def test_expire_reclaims_storage_but_not_state(spark, cat):
     n_dirs_before = len(list((pathlib.Path(cat.root) / "data").iterdir()))
 
     stats = cat.expire_snapshots()
-    assert stats == {"expired": 4, "removed_dirs": 4}
+    assert (stats["expired"], stats["removed_dirs"]) == (4, 4)
     n_dirs_after = len(list((pathlib.Path(cat.root) / "data").iterdir()))
     assert n_dirs_after == n_dirs_before - 4
     # current state untouched, time travel to expired snapshots gone
@@ -383,3 +383,58 @@ def test_history_tracks_growth_shrink_and_flat(spark, tmp_path):
     assert h[1] == ("append", n)
     assert h[2] == ("merge", n - n_del)
     assert h[3] == ("replace", n - n_del)
+
+
+def test_tagged_snapshot_survives_expiry_with_full_read_set(spark, tmp_path):
+    """Expiry must keep a tagged snapshot's ENTIRE read set — every
+    manifest from the tag's last rewrite up to the tag — not just the
+    tagged manifest itself: the chain unions whatever manifests survive,
+    so dropping an ancestor append would make read(tag=...) silently
+    return partial state."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    c.append(docs.where("doc_id % 3 = 0"))
+    c.append(docs.where("doc_id % 3 = 1"))  # tag's read set = BOTH appends
+    c.tag("release")
+    want = sorted(r.doc_id for r in c.read(spark, tag="release").collect())
+    c.append(docs.where("doc_id % 3 = 2"))
+    c.compact(spark, target_files=1)
+    stats = c.expire_snapshots()
+    assert stats["protected"] == 2
+    got = sorted(r.doc_id for r in c.read(spark, tag="release").collect())
+    assert got == want
+    # current read unaffected by the protected pre-cut manifests
+    assert c.read(spark).count() == docs.count()
+    # orphan GC must not eat protected dirs either
+    c.remove_orphan_files()
+    assert sorted(r.doc_id for r in c.read(spark, tag="release").collect()) == want
+
+
+def test_delete_tag_makes_snapshot_expirable(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, "en")], "doc_id bigint, lang string"))
+    c.tag("v1")
+    c.append(spark.createDataFrame([(2, "de")], "doc_id bigint, lang string"))
+    c.compact(spark, target_files=1)
+    assert c.expire_snapshots()["protected"] >= 1
+    c.delete_tag("v1")
+    stats = c.expire_snapshots()
+    assert stats["protected"] == 0 and stats["expired"] >= 1
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        c.read(spark, tag="v1")
+
+
+def test_tag_name_collision_and_validation(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, "en")], "doc_id bigint, lang string"))
+    c.tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        c.tag("v1")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        c.tag("../escape")
+    with pytest.raises(KeyError):
+        c.tag("v2", snapshot_id="nope")
