@@ -94,6 +94,8 @@ QUERIES_UNDER_TEST = [
     "sink_delete_where",
     "scan_table_history",
     "sink_sorted_layout",
+    "scan_partition_evolution",
+    "scan_tagged_release",
 ]
 
 _TEXTS = [
