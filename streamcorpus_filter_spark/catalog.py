@@ -252,6 +252,129 @@ class SnapshotCatalog:
                 return chain[i:]
         return chain
 
+    # ---------------------------------------------- write-audit-publish
+
+    def stage(
+        self,
+        df: DataFrame,
+        *,
+        wap_id: str | None = None,
+        input_files: list[str] | None = None,
+        metrics: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Write a batch as a STAGED snapshot (Iceberg's write-audit-
+        publish / ``wap.id`` workflow): the data is fully written and
+        committed to the manifest chain, but INVISIBLE to read(),
+        read_incremental(), and history() until published. The auditor
+        reads it by id — ``read(snapshot_id=<staged id>)`` is the audit
+        view (main as of that point plus the staged batch) — runs its
+        quality checks, then ``publish()`` or ``abort_staged()``.
+        The 100 TB quality gate: bad crawl batches never become visible
+        table state, yet auditing needs no side table or copy."""
+        m = dict(metrics or {})
+        if wap_id is not None:
+            m["wap_id"] = wap_id
+        return self.append(
+            df,
+            input_files=input_files,
+            metrics=m,
+            partition_by=partition_by,
+            operation="staged",
+        )
+
+    def publish(self, staged_snapshot_id: str) -> dict:
+        """Make a staged snapshot visible — Iceberg's cherry-pick: a NEW
+        manifest commits at the head referencing the SAME data dir (zero
+        copy), carrying the staged commit's input-file lineage and
+        metrics, then the staged manifest is removed. Publishing as a
+        new head (rather than flipping the staged manifest in place) is
+        what keeps the two consumer contracts honest: CDC readers see
+        the batch at a fresh sequence at publish time (an in-place flip
+        at the OLD sequence would be invisible to any consumer already
+        past it), and a compaction committed while the batch sat staged
+        cannot strand it behind the rewrite cut."""
+        by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+        s = by_id.get(staged_snapshot_id)
+        if s is None:
+            raise KeyError(f"unknown snapshot {staged_snapshot_id!r}")
+        if s.get("operation") != "staged":
+            raise ValueError(
+                f"snapshot {staged_snapshot_id!r} is {s['operation']!r}, "
+                "not staged"
+            )
+        manifest = {
+            "sequence": -1,  # assigned by the commit loop
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_id": None,
+            "committed_at": time.time(),
+            "operation": "append",
+            "data_dir": s["data_dir"],
+            "input_files": s["input_files"],
+            "metrics": {**s["metrics"], "published_from": staged_snapshot_id},
+            "partition_by": s.get("partition_by", []),
+            "schema_json": s.get("schema_json"),
+        }
+        out = self._commit_manifest(manifest)
+        # remove the staged manifest AFTER the publish commit: a crash in
+        # between leaves both, which is safe (staged is skipped on every
+        # read path, and both reference the same dir for GC purposes)
+        (self.root / "snapshots" / f"{s['sequence']:08d}.json").unlink(
+            missing_ok=True
+        )
+        return out
+
+    def abort_staged(self, staged_snapshot_id: str) -> None:
+        """Drop a staged snapshot that failed its audit: manifest first
+        (readers resolve via manifests), then the data dir — unless
+        another manifest references the dir (a published twin), in which
+        case only the staged manifest goes."""
+        import shutil
+
+        by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+        s = by_id.get(staged_snapshot_id)
+        if s is None:
+            raise KeyError(f"unknown snapshot {staged_snapshot_id!r}")
+        if s.get("operation") != "staged":
+            raise ValueError(
+                f"snapshot {staged_snapshot_id!r} is {s['operation']!r}, "
+                "not staged"
+            )
+        (self.root / "snapshots" / f"{s['sequence']:08d}.json").unlink()
+        shared = any(
+            o["data_dir"] == s["data_dir"] for o in self.snapshots()
+        )
+        if not shared:
+            shutil.rmtree(s["data_dir"], ignore_errors=True)
+
+    def _commit_manifest(self, manifest: dict) -> dict:
+        """Commit a fully-formed manifest (no data write) with the same
+        sequence-claim protocol as append(): os.link fails on a taken
+        sequence, re-parent and retry."""
+        tmp = self.root / "snapshots" / f".tmp-{manifest['snapshot_id']}"
+        parent = self.latest_snapshot()
+        seq = (parent["sequence"] + 1) if parent else 0
+        try:
+            for _attempt in range(100):
+                manifest["sequence"] = seq
+                manifest["parent_id"] = (
+                    parent["snapshot_id"] if parent else None
+                )
+                tmp.write_text(json.dumps(manifest, indent=2))
+                final = self.root / "snapshots" / f"{seq:08d}.json"
+                try:
+                    os.link(tmp, final)
+                except FileExistsError:
+                    parent = self.latest_snapshot()
+                    seq = (parent["sequence"] + 1) if parent else seq + 1
+                    continue
+                return manifest
+            raise RuntimeError(
+                "snapshot commit contention: 100 retries exhausted"
+            )
+        finally:
+            tmp.unlink(missing_ok=True)
+
     # ------------------------------------------------------------- tags
 
     def tag(self, name: str, snapshot_id: str | None = None) -> dict:
@@ -328,7 +451,21 @@ class SnapshotCatalog:
         chain = self._chain(snapshot_id)
         if not chain:
             raise ValueError(f"catalog {self.root} has no snapshots")
-        return self._read_snapshots(spark, self._from_last_replace(chain))
+        snaps = self._from_last_replace(chain)
+        # staged (write-audit-publish) snapshots are INVISIBLE to reads —
+        # except when the auditor requests one by id, which yields the
+        # audit view: main as of that point plus the staged batch on top
+        snaps = [
+            s for s in snaps
+            if s.get("operation") != "staged"
+            or s["snapshot_id"] == snapshot_id
+        ]
+        if not snaps:
+            raise ValueError(
+                f"catalog {self.root} has no visible snapshots "
+                "(only staged commits — publish or audit them by id)"
+            )
+        return self._read_snapshots(spark, snaps)
 
     @staticmethod
     def _read_snapshots(spark: SparkSession, snaps: list[dict]) -> DataFrame:
@@ -377,7 +514,12 @@ class SnapshotCatalog:
                     "representable as an append delta — re-read the full "
                     "table or consume from after the merge"
                 )
-        new = [s for s in tail if s.get("operation") != "replace"]
+        # staged snapshots are not yet logical content; publish commits a
+        # NEW head manifest, so CDC consumers see the batch at publish
+        # time with a fresh sequence — never retroactively
+        new = [
+            s for s in tail if s.get("operation") not in ("replace", "staged")
+        ]
         if not new:
             return self.read(spark).limit(0)
         return self._read_snapshots(spark, new)
@@ -502,6 +644,8 @@ class SnapshotCatalog:
 
         rows, visible = [], 0
         for s in self.snapshots():
+            if s["operation"] == "staged":
+                continue  # not visible content until published
             n = sum(
                 pq.read_metadata(f).num_rows
                 for f in pathlib.Path(s["data_dir"]).rglob("*.parquet")
@@ -588,9 +732,16 @@ class SnapshotCatalog:
         # from the tag's last rewrite up to the tag — because expiring
         # any of those would make read(tag=...) silently return partial
         # state (the chain unions whatever manifests survive)
+        # staged (write-audit-publish) snapshots are equally protected:
+        # a batch awaiting audit must not be GC'd by routine maintenance
+        # (abort_staged is the explicit discard path), and its audit view
+        # needs the same read-set protection a tag does
         protected: set[str] = set()
         by_id = {s["snapshot_id"]: i for i, s in enumerate(snaps)}
-        for sid in self.tags().values():
+        anchors = set(self.tags().values()) | {
+            s["snapshot_id"] for s in snaps if s.get("operation") == "staged"
+        }
+        for sid in anchors:
             j = by_id.get(sid)
             if j is None or j >= cut:
                 continue

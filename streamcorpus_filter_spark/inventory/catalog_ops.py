@@ -439,3 +439,32 @@ def scan_tagged_release(spark: SparkSession, sf: str) -> DataFrame:
     stats = cat.expire_snapshots()
     assert stats["protected"] >= 1, stats  # the tag actually shielded it
     return cat.read(spark, tag="train-v1")
+
+
+@register(
+    "sink_wap_publish",
+    """
+    SELECT doc_id, n_chars FROM documents
+    """,
+)
+def sink_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish (Iceberg's wap.id staged commits) under the
+    value-hash check — the quality gate a 100 TB ingest runs so a bad
+    crawl batch never becomes visible table state: odd docs are STAGED
+    (fully written, invisible to reads), the in-query audit checks the
+    main read still equals the evens-only base while the audit view
+    (read by staged id) already shows the full table, then publish
+    cherry-picks the batch to a new head and the final read must match
+    the whole-fixture oracle."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_wap_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    n_even = cat.read(spark).count()
+    staged = cat.stage(docs.where(F.col("doc_id") % 2 == 1),
+                       wap_id="crawl-2026-08-18")
+    assert cat.read(spark).count() == n_even, "staged batch leaked"
+    n_all = docs.count()
+    audit = cat.read(spark, staged["snapshot_id"]).count()
+    assert audit == n_all, f"audit view incomplete: {audit} vs {n_all}"
+    cat.publish(staged["snapshot_id"])
+    return cat.read(spark)

@@ -438,3 +438,79 @@ def test_tag_name_collision_and_validation(spark, tmp_path):
         c.tag("../escape")
     with pytest.raises(KeyError):
         c.tag("v2", snapshot_id="nope")
+
+
+def test_wap_staged_invisible_until_published(spark, tmp_path):
+    """A staged batch must be invisible to read(), history(), and
+    incremental scans; the audit view (read by staged id) shows main
+    plus the batch; publish lands it at a NEW head so a CDC consumer
+    positioned at the old head sees it at publish time."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    base = c.append(spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame(
+        [(3, 30)], "doc_id bigint, v bigint"), wap_id="w1")
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2]
+    assert c.read_incremental(spark, base["snapshot_id"]).count() == 0
+    assert [r.n_rows for r in c.history(spark).collect()] == [2]
+    # audit view
+    audit = c.read(spark, staged["snapshot_id"])
+    assert sorted(r.doc_id for r in audit.collect()) == [1, 2, 3]
+    pub = c.publish(staged["snapshot_id"])
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
+    inc = c.read_incremental(spark, base["snapshot_id"])
+    assert sorted(r.doc_id for r in inc.collect()) == [3]
+    assert pub["metrics"]["wap_id"] == "w1"
+    # staged manifest gone; its dir is referenced by the published head
+    with pytest.raises(KeyError):
+        c.publish(staged["snapshot_id"])
+    c.remove_orphan_files()
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
+
+
+def test_wap_abort_discards_batch_and_bytes(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, 10)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame(
+        [(99, 0)], "doc_id bigint, v bigint"))
+    c.abort_staged(staged["snapshot_id"])
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1]
+    assert not pathlib.Path(staged["data_dir"]).exists()
+    referenced = {pathlib.Path(s["data_dir"]).name for s in c.snapshots()}
+    on_disk = {p.name for p in (pathlib.Path(str(tmp_path / "tbl")) / "data").iterdir()}
+    assert on_disk == referenced
+
+
+def test_wap_publish_survives_interleaved_compaction(spark, tmp_path):
+    """A compaction committed while the batch sat staged must not strand
+    it: publish cherry-picks to a new head AFTER the rewrite cut, so the
+    batch lands; an in-place flip at the old sequence would have left it
+    behind the cut, silently invisible."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, 10)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame(
+        [(2, 20)], "doc_id bigint, v bigint"))
+    c.append(spark.createDataFrame([(3, 30)], "doc_id bigint, v bigint"))
+    c.compact(spark, target_files=1)
+    c.publish(staged["snapshot_id"])
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
+
+
+def test_wap_staged_batch_survives_expiry(spark, tmp_path):
+    """Routine snapshot expiry must not GC a batch awaiting audit —
+    abort_staged is the explicit discard path. The staged snapshot's
+    audit-view read set gets the same protection a tag's does."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, 10)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame(
+        [(2, 20)], "doc_id bigint, v bigint"))
+    c.append(spark.createDataFrame([(3, 30)], "doc_id bigint, v bigint"))
+    c.compact(spark, target_files=1)
+    stats = c.expire_snapshots()
+    assert stats["protected"] >= 1, stats
+    # audit view still complete, publish still possible, batch lands
+    audit = sorted(
+        r.doc_id for r in c.read(spark, staged["snapshot_id"]).collect())
+    assert audit == [1, 2]
+    c.publish(staged["snapshot_id"])
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
