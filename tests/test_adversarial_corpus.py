@@ -96,6 +96,7 @@ QUERIES_UNDER_TEST = [
     "sink_sorted_layout",
     "scan_partition_evolution",
     "scan_tagged_release",
+    "sink_wap_publish",
 ]
 
 _TEXTS = [
