@@ -294,15 +294,20 @@ class SnapshotCatalog:
         at the OLD sequence would be invisible to any consumer already
         past it), and a compaction committed while the batch sat staged
         cannot strand it behind the rewrite cut."""
-        by_id = {s["snapshot_id"]: s for s in self.snapshots()}
-        s = by_id.get(staged_snapshot_id)
-        if s is None:
-            raise KeyError(f"unknown snapshot {staged_snapshot_id!r}")
-        if s.get("operation") != "staged":
-            raise ValueError(
-                f"snapshot {staged_snapshot_id!r} is {s['operation']!r}, "
-                "not staged"
-            )
+        # idempotence: a crash between the publish commit and the staged
+        # unlink leaves both manifests; a retry must FINISH the publish
+        # (remove the staged leftover, return the existing head), never
+        # commit a second head on the same dir — which read() would
+        # union into duplicated rows
+        for o in self.snapshots():
+            if o.get("metrics", {}).get("published_from") == staged_snapshot_id:
+                leftover = self._by_id(staged_snapshot_id)
+                if leftover is not None:
+                    (self.root / "snapshots"
+                     / f"{leftover['sequence']:08d}.json").unlink(
+                        missing_ok=True)
+                return o
+        s = self._get_staged(staged_snapshot_id)
         manifest = {
             "sequence": -1,  # assigned by the commit loop
             "snapshot_id": uuid.uuid4().hex[:16],
@@ -331,21 +336,29 @@ class SnapshotCatalog:
         case only the staged manifest goes."""
         import shutil
 
-        by_id = {s["snapshot_id"]: s for s in self.snapshots()}
-        s = by_id.get(staged_snapshot_id)
-        if s is None:
-            raise KeyError(f"unknown snapshot {staged_snapshot_id!r}")
-        if s.get("operation") != "staged":
-            raise ValueError(
-                f"snapshot {staged_snapshot_id!r} is {s['operation']!r}, "
-                "not staged"
-            )
+        s = self._get_staged(staged_snapshot_id)
         (self.root / "snapshots" / f"{s['sequence']:08d}.json").unlink()
         shared = any(
             o["data_dir"] == s["data_dir"] for o in self.snapshots()
         )
         if not shared:
             shutil.rmtree(s["data_dir"], ignore_errors=True)
+
+    def _by_id(self, snapshot_id: str) -> dict | None:
+        for s in self.snapshots():
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        return None
+
+    def _get_staged(self, snapshot_id: str) -> dict:
+        s = self._by_id(snapshot_id)
+        if s is None:
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        if s.get("operation") != "staged":
+            raise ValueError(
+                f"snapshot {snapshot_id!r} is {s['operation']!r}, not staged"
+            )
+        return s
 
     def _commit_manifest(self, manifest: dict) -> dict:
         """Commit a fully-formed manifest (no data write) with the same
@@ -393,12 +406,26 @@ class SnapshotCatalog:
         if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
             raise ValueError(f"invalid tag name {name!r}")
         if snapshot_id is None:
-            latest = self.latest_snapshot()
-            if latest is None:
-                raise ValueError("cannot tag an empty catalog")
-            snapshot_id = latest["snapshot_id"]
-        elif all(s["snapshot_id"] != snapshot_id for s in self.snapshots()):
-            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+            # anchor to the latest VISIBLE snapshot: the head can be a
+            # staged (unpublished, invisible) commit, and a tag pointing
+            # at it would both expose unaudited data through read(tag=)
+            # and dangle when publish/abort unlinks the staged manifest
+            visible = [
+                s for s in self.snapshots()
+                if s.get("operation") != "staged"
+            ]
+            if not visible:
+                raise ValueError("cannot tag a catalog with no visible snapshots")
+            snapshot_id = visible[-1]["snapshot_id"]
+        else:
+            s = self._by_id(snapshot_id)
+            if s is None:
+                raise KeyError(f"unknown snapshot {snapshot_id!r}")
+            if s.get("operation") == "staged":
+                raise ValueError(
+                    f"cannot tag staged snapshot {snapshot_id!r} — "
+                    "publish it first"
+                )
         tags_dir = self.root / "tags"
         tags_dir.mkdir(exist_ok=True)
         payload = {
@@ -726,7 +753,7 @@ class SnapshotCatalog:
                 cut = i
                 break
         if cut is None or cut == 0:
-            return {"expired": 0, "removed_dirs": 0}
+            return {"expired": 0, "removed_dirs": 0, "protected": 0}
         # tagged snapshots are protected (Iceberg's retention rule), and
         # protection must cover the tag's whole READ SET — every snapshot
         # from the tag's last rewrite up to the tag — because expiring
@@ -761,8 +788,17 @@ class SnapshotCatalog:
         # processed_inputs() — the resume checkpoint — is invariant
         # under expiry and a restarted job never re-ingests inputs
         # whose manifests were garbage-collected
+        # staged snapshots are EXCLUDED from the fold: they survive
+        # expiry (protected above) and carry their own lineage — folding
+        # them in would mark an aborted batch's inputs as processed
+        # forever, so a resumed ingest would silently never re-read them
         inherited = sorted(
-            {f for s in snaps[: cut + 1] for f in s["input_files"]}
+            {
+                f
+                for s in snaps[: cut + 1]
+                if s.get("operation") != "staged"
+                for f in s["input_files"]
+            }
         )
         if inherited != snaps[cut]["input_files"]:
             snaps[cut]["input_files"] = inherited

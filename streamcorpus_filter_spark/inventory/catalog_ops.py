@@ -290,9 +290,8 @@ def sink_delete_where(spark: SparkSession, sf: str) -> DataFrame:
     cat.append(docs.where(F.col("doc_id") % 2 == 1))
     m = cat.delete_where(spark, "source = 'src7' OR doc_id % 13 = 0")
     noop = cat.delete_where(spark, "source = 'no_such_source'")
-    assert noop["snapshot_id"] == m["snapshot_id"], (
-        "zero-match delete must not commit a new snapshot"
-    )
+    if noop["snapshot_id"] != m["snapshot_id"]:  # survives python -O
+        raise AssertionError("zero-match delete must not commit a new snapshot")
     return cat.read(spark)
 
 
@@ -369,10 +368,12 @@ def sink_sorted_layout(spark: SparkSession, sf: str) -> DataFrame:
             for g in range(md.num_row_groups)
         ]
         ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
-    assert len(ranges) >= 2, "clustering demo needs multiple data files"
+    if len(ranges) < 2:  # survives python -O
+        raise AssertionError("clustering demo needs multiple data files")
     ranges.sort()
     for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
-        assert hi_a < lo_b, f"files overlap on the cluster key: {ranges}"
+        if not hi_a < lo_b:
+            raise AssertionError(f"files overlap on the cluster key: {ranges}")
     return (
         cat.read(spark)
         .where(F.col("n_chars") < 600)
@@ -437,7 +438,8 @@ def scan_tagged_release(spark: SparkSession, sf: str) -> DataFrame:
     cat.delete_where(spark, "doc_id % 13 = 0")
     cat.compact(spark, target_files=1)
     stats = cat.expire_snapshots()
-    assert stats["protected"] >= 1, stats  # the tag actually shielded it
+    if stats["protected"] < 1:  # survives python -O
+        raise AssertionError(f"the tag did not shield its snapshot: {stats}")
     return cat.read(spark, tag="train-v1")
 
 
@@ -462,9 +464,11 @@ def sink_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
     n_even = cat.read(spark).count()
     staged = cat.stage(docs.where(F.col("doc_id") % 2 == 1),
                        wap_id="crawl-2026-08-18")
-    assert cat.read(spark).count() == n_even, "staged batch leaked"
+    if cat.read(spark).count() != n_even:  # survives python -O
+        raise AssertionError("staged batch leaked into the main read")
     n_all = docs.count()
     audit = cat.read(spark, staged["snapshot_id"]).count()
-    assert audit == n_all, f"audit view incomplete: {audit} vs {n_all}"
+    if audit != n_all:
+        raise AssertionError(f"audit view incomplete: {audit} vs {n_all}")
     cat.publish(staged["snapshot_id"])
     return cat.read(spark)

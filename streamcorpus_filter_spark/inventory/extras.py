@@ -530,21 +530,24 @@ def scan_warc(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_pieces"),
         F.sum(F.octet_length("value")).alias("piece_bytes"),
     ).first()
-    assert chk.n_bad == 0, (
-        f"delimiter collision: {chk.n_bad} pieces lack the record header"
-    )
-    assert chk.n_empty == chk.n_files, (
-        "delimiter collision: payload ending in the record magic "
-        f"({chk.n_empty} empty pieces vs {chk.n_files} files)"
-    )
+    if chk.n_bad != 0:  # explicit raises: guards must survive python -O
+        raise AssertionError(
+            f"delimiter collision: {chk.n_bad} pieces lack the record header"
+        )
+    if chk.n_empty != chk.n_files:
+        raise AssertionError(
+            "delimiter collision: payload ending in the record magic "
+            f"({chk.n_empty} empty pieces vs {chk.n_files} files)"
+        )
     file_bytes = sum(
         f.stat().st_size for f in _pl.Path(src).glob("part-*")
     )
     expected = chk.piece_bytes + (chk.n_pieces - chk.n_files) * len(WARC_MAGIC)
-    assert file_bytes == expected, (
-        "delimiter collision: payload ending in the record magic at EOF "
-        f"({file_bytes} file bytes vs {expected} reconstructed)"
-    )
+    if file_bytes != expected:
+        raise AssertionError(
+            "delimiter collision: payload ending in the record magic at EOF "
+            f"({file_bytes} file bytes vs {expected} reconstructed)"
+        )
     header = F.substring_index("value", "\n\n", 1)
     parsed = raw.where(F.length("value") > 0).select(
         F.regexp_extract(
@@ -563,7 +566,8 @@ def scan_warc(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_docs = load(spark, sf, "documents").count()
     n_rec = parsed.count()
-    assert n_rec == n_docs, (
-        f"delimiter collision: {n_rec} records vs {n_docs} docs"
-    )
+    if n_rec != n_docs:
+        raise AssertionError(
+            f"delimiter collision: {n_rec} records vs {n_docs} docs"
+        )
     return parsed

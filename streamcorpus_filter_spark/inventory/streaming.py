@@ -314,7 +314,8 @@ def stream_sink_catalog(spark: SparkSession, sf: str) -> DataFrame:
     n_committed = len(cat.snapshots())
     # forced replay of batch 0 (the at-least-once failure case)
     commit_batch(spark.read.schema(EVENTS_SCHEMA).parquet(src), 0)
-    assert len(cat.snapshots()) == n_committed, "replayed batch re-committed"
+    if len(cat.snapshots()) != n_committed:  # survives python -O
+        raise AssertionError("replayed batch re-committed")
     return cat.read(spark)
 
 

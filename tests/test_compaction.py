@@ -97,11 +97,11 @@ def test_expire_reclaims_storage_but_not_state(spark, cat):
     with pytest.raises(KeyError):
         cat.read(spark, s2)
     # idempotent: a second expiry has nothing to do
-    assert cat.expire_snapshots() == {"expired": 0, "removed_dirs": 0}
+    assert cat.expire_snapshots() == {"expired": 0, "removed_dirs": 0, "protected": 0}
 
 
 def test_expire_without_compaction_is_a_noop(spark, cat):
-    assert cat.expire_snapshots() == {"expired": 0, "removed_dirs": 0}
+    assert cat.expire_snapshots() == {"expired": 0, "removed_dirs": 0, "protected": 0}
     assert len(cat.snapshots()) == 4
 
 
@@ -461,9 +461,12 @@ def test_wap_staged_invisible_until_published(spark, tmp_path):
     inc = c.read_incremental(spark, base["snapshot_id"])
     assert sorted(r.doc_id for r in inc.collect()) == [3]
     assert pub["metrics"]["wap_id"] == "w1"
-    # staged manifest gone; its dir is referenced by the published head
-    with pytest.raises(KeyError):
-        c.publish(staged["snapshot_id"])
+    # publish is IDEMPOTENT: a retry (the crash-between-commit-and-unlink
+    # recovery path) returns the existing head instead of committing a
+    # second head on the same dir — which would duplicate every batch row
+    again = c.publish(staged["snapshot_id"])
+    assert again["snapshot_id"] == pub["snapshot_id"]
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
     c.remove_orphan_files()
     assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
 
@@ -514,3 +517,70 @@ def test_wap_staged_batch_survives_expiry(spark, tmp_path):
     assert audit == [1, 2]
     c.publish(staged["snapshot_id"])
     assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
+
+
+def test_wap_publish_crash_recovery_no_duplication(spark, tmp_path):
+    """The crash window: head committed but staged manifest not yet
+    unlinked. A publish retry must finish the job — remove the leftover,
+    return the existing head — and reads must never see the batch twice
+    (staged manifests are skipped on every read path even while both
+    exist)."""
+    import json as _json
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, 10)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame(
+        [(2, 20)], "doc_id bigint, v bigint"))
+    staged_path = (pathlib.Path(str(tmp_path / "tbl")) / "snapshots"
+                   / f"{staged['sequence']:08d}.json")
+    staged_bytes = staged_path.read_text()
+    pub = c.publish(staged["snapshot_id"])
+    # simulate the crash: resurrect the staged manifest next to the head
+    staged_path.write_text(staged_bytes)
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2]
+    again = c.publish(staged["snapshot_id"])
+    assert again["snapshot_id"] == pub["snapshot_id"]
+    assert not staged_path.exists()
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2]
+
+
+def test_tag_never_anchors_to_staged(spark, tmp_path):
+    """tag() with no snapshot_id must anchor to the latest VISIBLE
+    snapshot (a staged head would expose unaudited data and dangle after
+    publish/abort unlinks it); tagging a staged id explicitly is
+    rejected."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    base = c.append(spark.createDataFrame(
+        [(1, 10)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame(
+        [(2, 20)], "doc_id bigint, v bigint"))
+    t = c.tag("release")
+    assert t["snapshot_id"] == base["snapshot_id"]
+    with pytest.raises(ValueError, match="staged"):
+        c.tag("sneaky", snapshot_id=staged["snapshot_id"])
+    # tag stays valid through the staged snapshot's publish
+    c.publish(staged["snapshot_id"])
+    assert sorted(
+        r.doc_id for r in c.read(spark, tag="release").collect()) == [1]
+
+
+def test_aborted_batch_inputs_not_marked_processed(spark, tmp_path):
+    """The lineage fold in expire_snapshots must EXCLUDE staged
+    snapshots: folding an unpublished batch's input files into the
+    surviving replace manifest would mark them processed forever, so an
+    abort after the expiry would silently prevent re-ingestion."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame(
+        [(1, 10)], "doc_id bigint, v bigint"), input_files=["crawl/a"])
+    staged = c.stage(spark.createDataFrame(
+        [(2, 20)], "doc_id bigint, v bigint"), input_files=["crawl/b9"])
+    c.append(spark.createDataFrame(
+        [(3, 30)], "doc_id bigint, v bigint"), input_files=["crawl/c"])
+    c.compact(spark, target_files=1)
+    c.expire_snapshots()
+    # staged survives expiry carrying its own lineage
+    assert "crawl/b9" in c.processed_inputs()
+    c.abort_staged(staged["snapshot_id"])
+    got = c.processed_inputs()
+    assert "crawl/b9" not in got, got  # re-ingestable after the abort
+    assert {"crawl/a", "crawl/c"} <= got
