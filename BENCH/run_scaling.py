@@ -198,8 +198,8 @@ oracle through extract -> rules -> langid -> perplexity -> entity match
 Standing gate: `pytest -m scale10x` re-runs every documents/embeddings
 query against DuckDB at sf0.1 (10x contract scale). Per-round record:
 round 2 = 104/105; round 3 = green at 127 registered queries (265 s
-wall, local[8]); round 4 = green at 141 registered queries with ZERO
-allowed exceptions, 321 s (sim_ivf_topk's integer-k-means rewrite
+wall, local[8]); round 4 = green at 142 registered queries with ZERO
+allowed exceptions, 303 s (sim_ivf_topk's integer-k-means rewrite
 removed the one contract-scale-only oracle).
 
 ## Headline bench (driver-run per round)
