@@ -67,11 +67,24 @@ class SnapshotCatalog:
         return sorted((self.root / "snapshots").glob("*.json"))
 
     def snapshots(self) -> list[dict]:
-        return [json.loads(p.read_text()) for p in self._manifests()]
+        out = []
+        for p in self._manifests():
+            try:
+                out.append(json.loads(p.read_text()))
+            except FileNotFoundError:
+                # unlinked between glob and read — publish's self-heal
+                # and abort_staged legitimately remove manifests while
+                # another caller lists; a vanished file is simply absent
+                continue
+        return out
 
     def latest_snapshot(self) -> dict | None:
-        ms = self._manifests()
-        return json.loads(ms[-1].read_text()) if ms else None
+        for p in reversed(self._manifests()):
+            try:
+                return json.loads(p.read_text())
+            except FileNotFoundError:
+                continue  # same vanish tolerance as snapshots()
+        return None
 
     # --------------------------------------------------------------- write
 
@@ -321,6 +334,21 @@ class SnapshotCatalog:
             "schema_json": s.get("schema_json"),
         }
         out = self._commit_manifest(manifest)
+        # self-heal the pre-scan's TOCTOU window: two concurrent
+        # publishers of the same staged id can both pass the
+        # published_from check and both commit a head — duplicated rows.
+        # After committing, the LATER sequence yields: it unlinks its own
+        # manifest and adopts the earlier head, so exactly one survives.
+        for o in self.snapshots():
+            if (
+                o.get("metrics", {}).get("published_from")
+                == staged_snapshot_id
+                and o["sequence"] < out["sequence"]
+            ):
+                (self.root / "snapshots"
+                 / f"{out['sequence']:08d}.json").unlink(missing_ok=True)
+                out = o
+                break
         # remove the staged manifest AFTER the publish commit: a crash in
         # between leaves both, which is safe (staged is skipped on every
         # read path, and both reference the same dir for GC purposes)

@@ -140,3 +140,84 @@ def test_resume_is_idempotent_under_duplicated_inputs(spark):
     # a retried run that re-lists an already-consumed input adds nothing
     cat.append(_df(spark, 20, 30), input_files=["c"])
     assert cat.processed_inputs() == {"a", "b", "c"}
+
+
+def test_concurrent_publishers_of_same_batch_converge_to_one_head(spark, tmp_path):
+    """Two publishers racing the SAME staged id: the pre-scan idempotence
+    check has a TOCTOU window where both can commit a head referencing
+    the same data dir (duplicated rows). The post-commit self-heal makes
+    the later sequence yield, so exactly one published head survives and
+    the batch appears exactly once."""
+    import threading
+
+    from streamcorpus_filter_spark.catalog import SnapshotCatalog
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, 10)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame(
+        [(2, 20)], "doc_id bigint, v bigint"))
+
+    results, errors = [], []
+    barrier = threading.Barrier(2)
+
+    def go():
+        try:
+            barrier.wait()
+            results.append(c.publish(staged["snapshot_id"]))
+        except Exception as e:  # noqa: BLE001 - surface in assert below
+            errors.append(e)
+
+    ts = [threading.Thread(target=go) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors, errors
+    # both callers got A head, and it's the SAME surviving head
+    heads = {r["snapshot_id"] for r in results}
+    published = [
+        s for s in c.snapshots()
+        if s.get("metrics", {}).get("published_from") == staged["snapshot_id"]
+    ]
+    assert len(published) == 1, published
+    assert published[0]["snapshot_id"] in heads
+    rows = sorted(r.doc_id for r in c.read(spark).collect())
+    assert rows == [1, 2], rows  # batch exactly once
+
+
+def test_publish_racing_concurrent_append_keeps_chain_linear(spark, tmp_path):
+    """publish() commits through the same sequence-claim protocol as
+    append(): racing an unrelated append must re-parent and land both
+    commits at distinct contiguous sequences, batch rows exactly once."""
+    import threading
+
+    from streamcorpus_filter_spark.catalog import SnapshotCatalog
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, 10)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame(
+        [(2, 20)], "doc_id bigint, v bigint"))
+    extra = spark.createDataFrame([(3, 30)], "doc_id bigint, v bigint")
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def pub():
+        try:
+            barrier.wait()
+            c.publish(staged["snapshot_id"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def app():
+        try:
+            barrier.wait()
+            c.append(extra)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=pub), threading.Thread(target=app)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors, errors
+    seqs = [s["sequence"] for s in c.snapshots()]
+    assert seqs == sorted(seqs) and len(seqs) == len(set(seqs))
+    rows = sorted(r.doc_id for r in c.read(spark).collect())
+    assert rows == [1, 2, 3], rows
