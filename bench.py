@@ -391,29 +391,65 @@ def main() -> None:
 
     if "pipeline" in times and not args.no_scaling:
         ctrl_n = min(args.scale_hi, 16)  # SAME control for both windows
-        hi_times, ctrl_shi, sctrl_shi, hi_pages = run_level(
-            args.scale_hi, sf_dir, pages_path, ["pipeline"],
-            repeats={"pipeline": 4}, ctrl_threads=ctrl_n,
-        )
-        lo_times, ctrl_slo, sctrl_slo, lo_pages = run_level(
-            args.scale_lo, sf_dir, pages_path, ["pipeline"],
-            repeats={"pipeline": 4}, ctrl_threads=ctrl_n,
-        )
-        dps_hi = hi_pages / hi_times["pipeline"]
-        dps_lo = lo_pages / lo_times["pipeline"]
+        # INTERLEAVED PAIRED ROUNDS (hi,lo, hi,lo): this VM's walls are
+        # bimodal PER-LAUNCH (identical config measured 11s vs 20s
+        # back-to-back), so a single launch per level makes the recorded
+        # efficiency a coin flip around the 0.8 gate. Each round's (hi,
+        # lo) launches are temporally adjacent, so per-round efficiencies
+        # keep their controls PAIRED with their walls (independent
+        # min-of-launches per level was measured to de-pair them and
+        # emit a nonsense >1 normalized efficiency); the reported
+        # normalized efficiencies are medians across rounds, the raw one
+        # uses best wall per level (one slow draw must land on BOTH
+        # launches of a level to poison it).
         ratio = args.scale_hi / args.scale_lo
-        eff_raw = (dps_hi / dps_lo) / ratio
-        # control-normalized: dps * control_wall is steal-invariant (a
-        # stolen window slows query and control alike), so this
-        # efficiency survives weather drift BETWEEN the two levels
-        eff_ctrl = ((dps_hi * ctrl_shi) / (dps_lo * ctrl_slo)) / ratio
-        # plan scaling RELATIVE to an embarrassingly-parallel Spark
-        # baseline measured in the same two windows: the spark control's
-        # own observed speedup (ideal = ratio) is the denominator, so a
-        # weather burst or box saturation that hits both jobs cancels.
-        # 1.0 = the pipeline scales exactly as well as a perfect
-        # map-only JVM job does on this box right now.
-        eff_spark_rel = (dps_hi / dps_lo) / (sctrl_slo / sctrl_shi)
+        rounds = []
+        for _ in range(3):
+            th, ch, sch, hi_pages = run_level(
+                args.scale_hi, sf_dir, pages_path, ["pipeline"],
+                repeats={"pipeline": 2}, ctrl_threads=ctrl_n,
+            )
+            tl, cl, scl, lo_pages = run_level(
+                args.scale_lo, sf_dir, pages_path, ["pipeline"],
+                repeats={"pipeline": 2}, ctrl_threads=ctrl_n,
+            )
+            r = {
+                "wall_hi": th["pipeline"], "wall_lo": tl["pipeline"],
+                "ctrl_hi": ch, "ctrl_lo": cl,
+                "sctrl_hi": sch, "sctrl_lo": scl,
+            }
+            dh, dl = hi_pages / r["wall_hi"], lo_pages / r["wall_lo"]
+            r["eff_raw"] = (dh / dl) / ratio
+            # control-normalized: dps * control_wall is steal-invariant
+            # (a stolen window slows query and control alike), so this
+            # survives weather drift between the round's two windows
+            r["eff_ctrl"] = ((dh * ch) / (dl * cl)) / ratio
+            # plan scaling RELATIVE to an embarrassingly-parallel Spark
+            # baseline measured in the same two windows: the spark
+            # control's own observed speedup (ideal = ratio) is the
+            # denominator, so a weather burst or box saturation that
+            # hits both jobs cancels. 1.0 = the pipeline scales exactly
+            # as well as a perfect map-only JVM job does right now.
+            r["eff_spark_rel"] = (dh / dl) / (scl / sch)
+            rounds.append(r)
+        wall_hi = min(r["wall_hi"] for r in rounds)
+        wall_lo = min(r["wall_lo"] for r in rounds)
+        hi_times = {"pipeline": wall_hi}
+        ctrl_shi = min(r["ctrl_hi"] for r in rounds)
+        ctrl_slo = min(r["ctrl_lo"] for r in rounds)
+        sctrl_shi = min(r["sctrl_hi"] for r in rounds)
+        sctrl_slo = min(r["sctrl_lo"] for r in rounds)
+        dps_hi = hi_pages / wall_hi
+        dps_lo = lo_pages / wall_lo
+        med = lambda xs: sorted(xs)[len(xs) // 2] if len(xs) % 2 else (
+            sum(sorted(xs)[len(xs) // 2 - 1: len(xs) // 2 + 1]) / 2)
+        # headline = MEDIAN of per-round paired efficiencies: min-wall
+        # pairing across rounds was measured to swing 0.78 -> 1.16 on
+        # unchanged code (a weather burst parked on one level's windows);
+        # the median needs 2 of 3 interleaved rounds poisoned to move.
+        eff_raw = med([r["eff_raw"] for r in rounds])
+        eff_ctrl = med([r["eff_ctrl"] for r in rounds])
+        eff_spark_rel = med([r["eff_spark_rel"] for r in rounds])
         out["scaling"] = {
             "cores_lo": args.scale_lo,
             "cores_hi": args.scale_hi,
@@ -426,11 +462,18 @@ def main() -> None:
             "efficiency_raw": round(eff_raw, 3),
             "efficiency_ctrl_normalized": round(eff_ctrl, 3),
             "efficiency_spark_relative": round(eff_spark_rel, 3),
+            "rounds": [
+                {k: round(v, 4) for k, v in r.items()} for r in rounds
+            ],
             "protocol": (
-                "same 48k-page corpus at local[lo] and local[hi]; pair is "
-                "4->16 because each task slot runs JVM+python threads (2N "
-                "active threads at local[N]) and local[32] oversubscribes "
-                "the 32-core box — see module docstring"
+                "same 48k-page corpus, TWO interleaved paired rounds "
+                "(hi,lo, hi,lo): efficiency_raw from best wall per level, "
+                "normalized efficiencies = median of per-round paired "
+                "values — per-launch walls are bimodal on this VM, so one "
+                "launch per level is a coin flip; pair is 4->16 because "
+                "each task slot runs JVM+python threads (2N active "
+                "threads at local[N]) and local[32] oversubscribes the "
+                "32-core box — see module docstring"
             ),
         }
         # the round-over-round comparators: local[16] is the highest
