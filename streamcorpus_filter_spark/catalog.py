@@ -309,17 +309,24 @@ class SnapshotCatalog:
         cannot strand it behind the rewrite cut."""
         # idempotence: a crash between the publish commit and the staged
         # unlink leaves both manifests; a retry must FINISH the publish
-        # (remove the staged leftover, return the existing head), never
-        # commit a second head on the same dir — which read() would
-        # union into duplicated rows
-        for o in self.snapshots():
-            if o.get("metrics", {}).get("published_from") == staged_snapshot_id:
-                leftover = self._by_id(staged_snapshot_id)
-                if leftover is not None:
-                    (self.root / "snapshots"
-                     / f"{leftover['sequence']:08d}.json").unlink(
-                        missing_ok=True)
-                return o
+        # (remove the staged leftover, collapse any crash-orphaned
+        # duplicate heads, return the surviving head), never commit a
+        # second head on the same dir — which read() would union into
+        # duplicated rows
+        head = self._published_head(staged_snapshot_id)
+        if head is not None:
+            leftover = self._by_id(staged_snapshot_id)
+            if leftover is not None:
+                (self.root / "snapshots"
+                 / f"{leftover['sequence']:08d}.json").unlink(
+                    missing_ok=True)
+            return head
+        tomb = self._abort_tombstone(staged_snapshot_id)
+        if tomb is not None:
+            raise ValueError(
+                f"staged snapshot {staged_snapshot_id!r} was aborted — "
+                "its batch is gone; re-stage and re-audit it"
+            )
         s = self._get_staged(staged_snapshot_id)
         manifest = {
             "sequence": -1,  # assigned by the commit loop
@@ -337,18 +344,26 @@ class SnapshotCatalog:
         # self-heal the pre-scan's TOCTOU window: two concurrent
         # publishers of the same staged id can both pass the
         # published_from check and both commit a head — duplicated rows.
-        # After committing, the LATER sequence yields: it unlinks its own
-        # manifest and adopts the earlier head, so exactly one survives.
-        for o in self.snapshots():
-            if (
-                o.get("metrics", {}).get("published_from")
-                == staged_snapshot_id
-                and o["sequence"] < out["sequence"]
-            ):
-                (self.root / "snapshots"
-                 / f"{out['sequence']:08d}.json").unlink(missing_ok=True)
-                out = o
-                break
+        # After committing, collapse to the EARLIEST sequence (the
+        # helper unlinks every later duplicate, ours included if we
+        # lost); a racer that crashes before this point is healed by the
+        # next publish()'s pre-scan, which runs the same collapse.
+        out = self._published_head(staged_snapshot_id) or out
+        # publish-vs-abort of the same staged id serializes through the
+        # manifest sequence order: both sides commit their decisive
+        # manifest (our head here, abort's tombstone there) and the
+        # LOWER sequence wins. If a tombstone committed before our head,
+        # the abort won — yield: unlink our head and surface the abort
+        # (the tombstone side is deleting the data dir; a head pointing
+        # at it would brick every future read of the table).
+        tomb = self._abort_tombstone(staged_snapshot_id)
+        if tomb is not None and tomb["sequence"] < out["sequence"]:
+            (self.root / "snapshots"
+             / f"{out['sequence']:08d}.json").unlink(missing_ok=True)
+            raise ValueError(
+                f"staged snapshot {staged_snapshot_id!r} was aborted "
+                "concurrently — its batch is gone; re-stage it"
+            )
         # remove the staged manifest AFTER the publish commit: a crash in
         # between leaves both, which is safe (staged is skipped on every
         # read path, and both reference the same dir for GC purposes)
@@ -358,25 +373,146 @@ class SnapshotCatalog:
         return out
 
     def abort_staged(self, staged_snapshot_id: str) -> None:
-        """Drop a staged snapshot that failed its audit: manifest first
-        (readers resolve via manifests), then the data dir — unless
-        another manifest references the dir (a published twin), in which
-        case only the staged manifest goes."""
+        """Drop a staged snapshot that failed its audit.
+
+        The decisive event is a committed ``abort`` TOMBSTONE manifest
+        (operation='abort', metrics.aborted_from=<staged id>, zero
+        logical content — skipped by every read path): abort and publish
+        of the same staged id both commit their decisive manifest
+        through the sequence-claim protocol and the LOWER sequence wins,
+        so the race resolves in one total order instead of a TOCTOU
+        window. Without this, an abort racing an in-flight publish could
+        rmtree the data dir after publish passed its staged check but
+        before its head committed — a visible head referencing a deleted
+        directory, bricking every future read. Now that interleaving
+        makes publish's post-commit scan find the earlier tombstone,
+        yield, and raise. If instead a publish head committed FIRST,
+        this abort unlinks its own tombstone and raises — the batch is
+        already visible table state and only delete_where can remove it.
+
+        Only after winning does the tombstone side do the destructive
+        work: unlink the staged manifest, proactively unlink any
+        later-sequence racing publish head, and rmtree the data dir
+        unless another (non-tombstone) manifest references it. A crash
+        anywhere in that cleanup is healed by re-calling abort_staged
+        (idempotent: the surviving tombstone is reused, never
+        re-committed) or swept by remove_orphan_files once the tombstone
+        expires."""
         import shutil
 
-        s = self._get_staged(staged_snapshot_id)
-        (self.root / "snapshots" / f"{s['sequence']:08d}.json").unlink()
+        s = self._by_id(staged_snapshot_id)
+        if s is not None and s.get("operation") != "staged":
+            raise ValueError(
+                f"snapshot {staged_snapshot_id!r} is "
+                f"{s['operation']!r}, not staged"
+            )
+        tomb = self._abort_tombstone(staged_snapshot_id)
+        head = self._published_head(staged_snapshot_id)
+        if head is not None and (
+            tomb is None or head["sequence"] < tomb["sequence"]
+        ):
+            raise ValueError(
+                f"staged snapshot {staged_snapshot_id!r} was already "
+                "published — aborting now would drop visible table "
+                "state; use delete_where instead"
+            )
+        if tomb is None:
+            if s is None:
+                raise KeyError(f"unknown snapshot {staged_snapshot_id!r}")
+            tomb = self._commit_manifest({
+                "sequence": -1,
+                "snapshot_id": uuid.uuid4().hex[:16],
+                "parent_id": None,
+                "committed_at": time.time(),
+                # data_dir EMPTY, not the staged dir: a tombstone is not
+                # a data reference — the batch's dir is doomed (so
+                # remove_orphan_files may legitimately finish a crashed
+                # abort's delete) and a completed abort must leave
+                # on-disk dirs == referenced dirs. The doomed dir rides
+                # in metrics for the cleanup/retry path only.
+                "operation": "abort",
+                "data_dir": "",
+                # NO input-file lineage: an aborted batch's inputs must
+                # stay re-ingestable (the whole point of the audit gate)
+                "input_files": [],
+                "metrics": {"aborted_from": staged_snapshot_id,
+                            "aborted_data_dir": s["data_dir"]},
+                "partition_by": [],
+                "schema_json": None,
+            })
+            head = self._published_head(staged_snapshot_id)
+            if head is not None and head["sequence"] < tomb["sequence"]:
+                # lost the race: a publish head committed first
+                (self.root / "snapshots"
+                 / f"{tomb['sequence']:08d}.json").unlink(missing_ok=True)
+                raise ValueError(
+                    f"staged snapshot {staged_snapshot_id!r} was "
+                    "published concurrently — aborting now would drop "
+                    "visible table state; use delete_where instead"
+                )
+        # won: any later-sequence publish head is a racer that must
+        # yield (its own post-commit scan does the same unlink)
+        if head is not None:
+            (self.root / "snapshots"
+             / f"{head['sequence']:08d}.json").unlink(missing_ok=True)
+        if s is not None and s.get("operation") == "staged":
+            (self.root / "snapshots"
+             / f"{s['sequence']:08d}.json").unlink(missing_ok=True)
+        # dir identity by basename (relocation-safe, same convention as
+        # expire_snapshots / remove_orphan_files)
+        name = pathlib.Path(
+            tomb["metrics"]["aborted_data_dir"]
+        ).name
         shared = any(
-            o["data_dir"] == s["data_dir"] for o in self.snapshots()
+            pathlib.Path(o["data_dir"]).name == name
+            and o.get("operation") != "abort"
+            for o in self.snapshots()
         )
-        if not shared:
-            shutil.rmtree(s["data_dir"], ignore_errors=True)
+        if name and not shared:
+            shutil.rmtree(self.root / "data" / name, ignore_errors=True)
 
     def _by_id(self, snapshot_id: str) -> dict | None:
         for s in self.snapshots():
             if s["snapshot_id"] == snapshot_id:
                 return s
         return None
+
+    def _collapse_dupes(self, matches: list[dict]) -> dict | None:
+        """Keep the LOWEST-sequence manifest of ``matches``, unlink the
+        rest, return the survivor (None if empty). The convergence
+        primitive for every same-intent race: N racers that each
+        committed a manifest for one logical event (publish of one
+        staged id, abort of one staged id) collapse to the earliest —
+        and, crucially, a RETRY after any racer crashed mid-collapse
+        finishes the job, so duplicate heads can't outlive the next
+        caller (a crash between commit and self-heal used to leave two
+        published heads forever, doubling the batch on every read)."""
+        if not matches:
+            return None
+        matches = sorted(matches, key=lambda s: s["sequence"])
+        for extra in matches[1:]:
+            (self.root / "snapshots"
+             / f"{extra['sequence']:08d}.json").unlink(missing_ok=True)
+        return matches[0]
+
+    def _published_head(self, staged_snapshot_id: str) -> dict | None:
+        """The surviving published head for a staged id (collapsing any
+        crash-orphaned duplicates on the way)."""
+        return self._collapse_dupes([
+            s for s in self.snapshots()
+            if s.get("metrics", {}).get("published_from")
+            == staged_snapshot_id
+        ])
+
+    def _abort_tombstone(self, staged_snapshot_id: str) -> dict | None:
+        """The surviving abort tombstone for a staged id (collapsing any
+        duplicates from racing aborts)."""
+        return self._collapse_dupes([
+            s for s in self.snapshots()
+            if s.get("operation") == "abort"
+            and s.get("metrics", {}).get("aborted_from")
+            == staged_snapshot_id
+        ])
 
     def _get_staged(self, snapshot_id: str) -> dict:
         s = self._by_id(snapshot_id)
@@ -440,7 +576,7 @@ class SnapshotCatalog:
             # and dangle when publish/abort unlinks the staged manifest
             visible = [
                 s for s in self.snapshots()
-                if s.get("operation") != "staged"
+                if s.get("operation") not in ("staged", "abort")
             ]
             if not visible:
                 raise ValueError("cannot tag a catalog with no visible snapshots")
@@ -461,7 +597,12 @@ class SnapshotCatalog:
             "snapshot_id": snapshot_id,
             "created_at": time.time(),
         }
-        tmp = tags_dir / f".tmp-{name}"
+        # tmp name keyed per-ATTEMPT, not per tag name: racing taggers
+        # sharing one .tmp-{name} could link the OTHER tagger's payload
+        # (W writes A, L overwrites with B, W's link lands B under W's
+        # name) or hit FileNotFoundError when the loser's cleanup
+        # unlinked the shared tmp mid-link
+        tmp = tags_dir / f".tmp-{name}-{uuid.uuid4().hex[:8]}"
         tmp.write_text(json.dumps(payload, indent=2))
         try:
             os.link(tmp, tags_dir / f"{name}.json")
@@ -476,10 +617,17 @@ class SnapshotCatalog:
         tags_dir = self.root / "tags"
         if not tags_dir.exists():
             return {}
-        return {
-            (t := json.loads(p.read_text()))["name"]: t["snapshot_id"]
-            for p in sorted(tags_dir.glob("*.json"))
-        }
+        out = {}
+        for p in sorted(tags_dir.glob("*.json")):
+            try:
+                t = json.loads(p.read_text())
+            except FileNotFoundError:
+                # unlinked by a concurrent delete_tag between glob and
+                # read — same vanish tolerance as snapshots(); one
+                # deleted tag must not crash reads of the intact ones
+                continue
+            out[t["name"]] = t["snapshot_id"]
+        return out
 
     def delete_tag(self, name: str) -> None:
         """Drop a tag (its snapshot becomes expirable again)."""
@@ -509,11 +657,14 @@ class SnapshotCatalog:
         snaps = self._from_last_replace(chain)
         # staged (write-audit-publish) snapshots are INVISIBLE to reads —
         # except when the auditor requests one by id, which yields the
-        # audit view: main as of that point plus the staged batch on top
+        # audit view: main as of that point plus the staged batch on top.
+        # abort tombstones carry zero logical content and are NEVER read
+        # (their data_dir points at a deleted batch).
         snaps = [
             s for s in snaps
-            if s.get("operation") != "staged"
-            or s["snapshot_id"] == snapshot_id
+            if s.get("operation") != "abort"
+            and (s.get("operation") != "staged"
+                 or s["snapshot_id"] == snapshot_id)
         ]
         if not snaps:
             raise ValueError(
@@ -522,8 +673,17 @@ class SnapshotCatalog:
             )
         return self._read_snapshots(spark, snaps)
 
-    @staticmethod
-    def _read_snapshots(spark: SparkSession, snaps: list[dict]) -> DataFrame:
+    def _data_dir(self, s: dict) -> str:
+        """Resolve a manifest's data dir under THIS catalog root by
+        basename — the same dir-identity convention expire_snapshots and
+        remove_orphan_files use. Manifests record the absolute path the
+        writer saw, so after a table relocation (moved mount, restored
+        backup, renamed parent) the raw string points at the old
+        location: resolving by basename keeps every snapshot readable
+        wherever the table lives now."""
+        return str(self.root / "data" / pathlib.Path(s["data_dir"]).name)
+
+    def _read_snapshots(self, spark: SparkSession, snaps: list[dict]) -> DataFrame:
         """Union of the given snapshots' data dirs. Each dir is loaded with
         its own basePath (snapshot dirs each contain their partitionBy
         subdirs — one global basePath would make partition discovery treat
@@ -535,10 +695,11 @@ class SnapshotCatalog:
 
         dfs = []
         for s in snaps:
-            r = spark.read.option("basePath", s["data_dir"])
+            d = self._data_dir(s)
+            r = spark.read.option("basePath", d)
             if s.get("schema_json"):
                 r = r.schema(StructType.fromJson(json.loads(s["schema_json"])))
-            dfs.append(r.parquet(s["data_dir"]))
+            dfs.append(r.parquet(d))
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
@@ -573,7 +734,8 @@ class SnapshotCatalog:
         # NEW head manifest, so CDC consumers see the batch at publish
         # time with a fresh sequence — never retroactively
         new = [
-            s for s in tail if s.get("operation") not in ("replace", "staged")
+            s for s in tail
+            if s.get("operation") not in ("replace", "staged", "abort")
         ]
         if not new:
             return self.read(spark).limit(0)
@@ -606,10 +768,15 @@ class SnapshotCatalog:
         matches multiple source rows, and silently inserting both copies
         (what the anti-join + union would otherwise do) diverges from
         that contract."""
+        from pyspark.sql import functions as F
+
+        # aliased aggregate, NOT .count(): with a key column literally
+        # named 'count', groupBy(...).count().where("count > 1") is an
+        # AMBIGUOUS_REFERENCE between the grouping column and the agg
         dup = (
             updates.groupBy(*key)
-            .count()
-            .where("count > 1")
+            .agg(F.count(F.lit(1)).alias("__scfs_n"))
+            .where("__scfs_n > 1")
             .limit(1)
             .count()
         )
@@ -666,9 +833,17 @@ class SnapshotCatalog:
         current = self.read(spark)
         n_deleted = current.where(f"coalesce(({predicate}), false)").count()
         if n_deleted == 0:
-            # base can't be None here: read() above already raises on an
-            # empty catalog, so a zero-match no-op always has a manifest
-            return base
+            # return the latest VISIBLE manifest, not latest_snapshot():
+            # the head can be a staged (unaudited) commit, and handing
+            # its id to a caller that records snapshot ids for time
+            # travel would expose the audit view — and dangle once
+            # publish/abort removes the staged manifest. Can't be empty:
+            # read() above already raises on a catalog with no visible
+            # snapshots.
+            return [
+                s for s in self.snapshots()
+                if s.get("operation") not in ("staged", "abort")
+            ][-1]
         kept = current.where(f"NOT coalesce(({predicate}), false)")
         return self.append(
             kept,
@@ -699,11 +874,12 @@ class SnapshotCatalog:
 
         rows, visible = [], 0
         for s in self.snapshots():
-            if s["operation"] == "staged":
-                continue  # not visible content until published
+            if s["operation"] in ("staged", "abort"):
+                continue  # staged: not visible until published;
+                # abort tombstones: zero logical content, dir deleted
             n = sum(
                 pq.read_metadata(f).num_rows
-                for f in pathlib.Path(s["data_dir"]).rglob("*.parquet")
+                for f in pathlib.Path(self._data_dir(s)).rglob("*.parquet")
             )
             visible = n if s["operation"] in ("replace", "merge") else visible + n
             rows.append((s["sequence"], s["operation"], visible))
@@ -806,8 +982,16 @@ class SnapshotCatalog:
                     start = i
                     break
             protected.update(s["snapshot_id"] for s in snaps[start : j + 1])
-        keep_dirs = {s["data_dir"] for s in snaps[cut:]} | {
-            s["data_dir"]
+        # dir identity by BASENAME, same as remove_orphan_files: raw
+        # path comparison breaks on a relocated/symlinked table (old
+        # manifests carry absolute paths from the old mount), which
+        # would both fail the keep check for a live dir AND make the
+        # removal loop's exists() silently skip every expired dir —
+        # storage reclaim reporting success while reclaiming nothing
+        keep_dirs = {
+            pathlib.Path(s["data_dir"]).name for s in snaps[cut:]
+        } | {
+            pathlib.Path(s["data_dir"]).name
             for s in snaps[:cut]
             if s["snapshot_id"] in protected
         }
@@ -843,8 +1027,13 @@ class SnapshotCatalog:
             p.unlink()
             expired += 1
         for s in snaps[:cut]:
-            d = pathlib.Path(s["data_dir"])
-            if s["data_dir"] not in keep_dirs and d.exists():
+            name = pathlib.Path(s["data_dir"]).name
+            # empty name = a no-data manifest (abort tombstone): nothing
+            # to remove — and self.root/"data"/"" would be the data ROOT
+            if not name:
+                continue
+            d = self.root / "data" / name
+            if name not in keep_dirs and d.exists():
                 shutil.rmtree(d)
                 removed += 1
         return {"expired": expired, "removed_dirs": removed,

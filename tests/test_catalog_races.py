@@ -221,3 +221,133 @@ def test_publish_racing_concurrent_append_keeps_chain_linear(spark, tmp_path):
     assert seqs == sorted(seqs) and len(seqs) == len(set(seqs))
     rows = sorted(r.doc_id for r in c.read(spark).collect())
     assert rows == [1, 2, 3], rows
+
+
+def test_publish_retry_collapses_crash_orphaned_duplicate_heads(spark, tmp_path):
+    """A publisher that crashes between its head commit and its self-heal
+    scan leaves TWO heads referencing the same data dir — every read
+    would union the batch twice, and a compaction would bake the
+    duplicates in durably. The retry's idempotence pre-scan must collapse
+    all-but-the-earliest head, not just return the first one it sees."""
+    import time as _time
+    import uuid as _uuid
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_df(spark, 0, 3))
+    staged = c.stage(_df(spark, 3, 5))
+    first = c.publish(staged["snapshot_id"])
+    # simulate the crashed racer: a second head for the same staged id,
+    # committed but never self-healed (its process died right after)
+    c._commit_manifest({
+        "sequence": -1,
+        "snapshot_id": _uuid.uuid4().hex[:16],
+        "parent_id": None,
+        "committed_at": _time.time(),
+        "operation": "append",
+        "data_dir": staged["data_dir"],
+        "input_files": [],
+        "metrics": {"published_from": staged["snapshot_id"]},
+        "partition_by": [],
+        "schema_json": staged.get("schema_json"),
+    })
+    # the duplicated state is live until someone heals it
+    assert [r.id for r in c.read(spark).collect()].count(3) == 2
+    again = c.publish(staged["snapshot_id"])
+    assert again["snapshot_id"] == first["snapshot_id"]
+    heads = [
+        s for s in c.snapshots()
+        if s.get("metrics", {}).get("published_from") == staged["snapshot_id"]
+    ]
+    assert len(heads) == 1
+    assert sorted(r.id for r in c.read(spark).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_publish_vs_abort_race_resolves_to_exactly_one_outcome(spark, tmp_path):
+    """publish and abort_staged of the SAME staged id race: both commit a
+    decisive manifest (head vs tombstone) and the lower sequence wins.
+    Exactly one side succeeds; the loser raises; the table is never left
+    with a visible head referencing a deleted data dir (the brick)."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_df(spark, 0, 2))
+    staged = c.stage(_df(spark, 2, 4))
+    barrier = threading.Barrier(2)
+    outcome: dict[str, object] = {}
+
+    def pub():
+        barrier.wait()
+        try:
+            outcome["pub"] = c.publish(staged["snapshot_id"])
+        except ValueError as e:
+            outcome["pub_err"] = e
+
+    def ab():
+        barrier.wait()
+        try:
+            c.abort_staged(staged["snapshot_id"])
+            outcome["abort"] = True
+        except ValueError as e:
+            outcome["abort_err"] = e
+
+    ts = [threading.Thread(target=pub), threading.Thread(target=ab)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    # exactly one winner
+    assert ("pub" in outcome) != ("abort" in outcome), outcome
+    rows = sorted(r.id for r in c.read(spark).collect())  # never bricked
+    if "pub" in outcome:
+        assert rows == [0, 1, 2, 3]
+        assert "abort_err" in outcome
+        assert "published" in str(outcome["abort_err"])
+    else:
+        assert rows == [0, 1]
+        assert "pub_err" in outcome
+        assert "aborted" in str(outcome["pub_err"])
+        import pathlib as _pl
+        assert not _pl.Path(staged["data_dir"]).exists()
+
+
+def test_racing_taggers_one_wins_and_tag_content_matches_winner(spark, tmp_path):
+    """Two taggers racing one name: per-attempt tmp files mean the winner
+    links its OWN payload (a shared .tmp-{name} could link the loser's
+    clobbered bytes, silently pointing the release tag at the wrong
+    snapshot) and the loser gets the clean already-exists error."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    a = c.append(_df(spark, 0, 1))
+    b = c.append(_df(spark, 1, 2))
+    results, errors = [], []
+    barrier = threading.Barrier(2)
+
+    def tagit(snap):
+        barrier.wait()
+        try:
+            results.append(c.tag("v1", snap["snapshot_id"]))
+        except ValueError as e:
+            errors.append(e)
+
+    ts = [threading.Thread(target=tagit, args=(s,)) for s in (a, b)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(results) == 1 and len(errors) == 1, (results, errors)
+    # the durable tag points at exactly what the winner was told it does
+    assert c.tags()["v1"] == results[0]["snapshot_id"]
+
+
+def test_tags_listing_tolerates_concurrent_delete(spark, tmp_path):
+    """tags() must skip a tag file unlinked between its glob and read
+    (concurrent delete_tag), same vanish tolerance as snapshots()."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_df(spark, 0, 1))
+    c.tag("keep")
+    c.tag("scratch")
+    real_read_text = type(c.root).read_text
+
+    def racy_read_text(self, *a, **k):
+        if self.name == "scratch.json":
+            self.unlink(missing_ok=True)  # the concurrent delete lands
+        return real_read_text(self, *a, **k)
+
+    import unittest.mock as mock
+    with mock.patch.object(type(c.root), "read_text", racy_read_text):
+        out = c.tags()
+    assert out["keep"] == c.snapshots()[-1]["snapshot_id"]
+    assert "scratch" not in out
