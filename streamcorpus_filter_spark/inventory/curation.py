@@ -106,6 +106,208 @@ def ql_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- classifier training
+
+# hashed-feature space for on-cluster training: 256 buckets via the first
+# two md5 hex nibbles — the same engine-portable construction
+# ql_dsir_importance uses for its bigram buckets. Bounded key space =
+# map-side-combinable shuffle of at most 256 rows per map partition.
+CLF_TRAIN_BUCKETS = 256
+_CLF_POS_LANG = "en"
+_HEX = "0123456789abcdef"
+
+
+def _clf_bucket_sql(instr_fn: str, col: str = "w") -> str:
+    """0-based hashed-token bucket in [0, 256): position-in-hex-alphabet
+    of the first two md5 nibbles (both engines' instr/strpos are
+    1-based, so (i1-1)*16 + (i2-1) lands in [0, 255])."""
+    return (
+        f"(({instr_fn}('{_HEX}', substr(md5({col}),1,1))-1)*16"
+        f" + {instr_fn}('{_HEX}', substr(md5({col}),2,1)) - 1)"
+    )
+
+
+_CLF_TRAIN_CTES = f"""
+    t AS (
+      SELECT doc_id, coalesce(lang, '') = '{_CLF_POS_LANG}' AS pos,
+             list_filter(string_split_regex(lower(text), '{_WS}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, pos,
+             CAST({_clf_bucket_sql("strpos")} AS BIGINT) AS bucket
+      FROM (SELECT doc_id, pos, unnest(toks) AS w FROM t)
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+      FROM k GROUP BY bucket
+    ),
+    wt AS (
+      SELECT bucket, c_pos, c_neg,
+             CAST(((c_pos + 1) * (sum(c_neg) OVER () + {CLF_TRAIN_BUCKETS}) * 1000)
+                  // ((c_neg + 1) * (sum(c_pos) OVER () + {CLF_TRAIN_BUCKETS}))
+                  AS BIGINT) AS w_milli
+      FROM c
+    )
+"""
+
+
+def _clf_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-bucket class-conditional token counts — the sufficient
+    statistics of the naive-Bayes-style trainer. One explode + one
+    groupBy on a 256-key space: the partial aggregation collapses each
+    map partition to <= 256 rows before the shuffle, so training cost is
+    one corpus scan regardless of corpus size."""
+    d = load(spark, sf, "documents").select(
+        (F.coalesce(F.col("lang"), F.lit("")) == _CLF_POS_LANG).alias("pos"),
+        F.explode(_toks()).alias("w"),
+    )
+    return (
+        d.select(
+            F.expr(_clf_bucket_sql("instr")).cast("long").alias("bucket"),
+            "pos",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("c_pos"),
+            F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("c_neg"),
+        )
+    )
+
+
+@register(
+    "ql_classifier_train",
+    f"WITH {_CLF_TRAIN_CTES} SELECT bucket, c_pos, c_neg, w_milli FROM wt",
+)
+def ql_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Train the quality classifier ON-CLUSTER from seed labels: the
+    supervised-fastText loop a crawl pipeline runs to bootstrap its own
+    filter (label = the deterministic seed rule lang = 'en'; in
+    production, a curated seed set rides in the same column). Features
+    are hashed-token buckets; the learned weight is the Laplace-smoothed
+    class-conditional odds ratio in exact integer milli-units:
+
+        w_milli = 1000 * (c_pos+1)/(T_pos+B) / ((c_neg+1)/(T_neg+B))
+
+    computed by integer cross-multiplication (floor DIV on both engines)
+    so training is bit-reproducible under any partitioning — a float
+    log-odds sum would differ in the last ulps between engines and
+    between retries. ql_classifier_score consumes exactly this artifact
+    shape (bucket -> integer weight, broadcast as a literal map).
+
+    Scale shape: one corpus scan, explode in codegen, groupBy on a
+    BOUNDED 256-bucket key space (map-side combine collapses each task
+    to <= 256 rows before the shuffle — same shape as lm_train_ngrams);
+    the totals window runs over the 256-row AGGREGATE, not the corpus.
+    At 10^12 docs the int64 cross-products need DECIMAL(38) headroom —
+    swap the two CASTs; the plan is unchanged."""
+    c = _clf_counts(spark, sf)
+    w = Window.partitionBy()
+    return (
+        c.withColumn("__t_pos", F.sum("c_pos").over(w))
+        .withColumn("__t_neg", F.sum("c_neg").over(w))
+        .select(
+            "bucket",
+            "c_pos",
+            "c_neg",
+            F.expr(
+                f"CAST(((c_pos + 1) * (__t_neg + {CLF_TRAIN_BUCKETS}) * 1000)"
+                f" DIV ((c_neg + 1) * (__t_pos + {CLF_TRAIN_BUCKETS}))"
+                " AS BIGINT)"
+            ).alias("w_milli"),
+        )
+    )
+
+
+@register(
+    "ql_classifier_eval",
+    f"""
+    WITH {_CLF_TRAIN_CTES},
+    lg AS (
+      SELECT k.doc_id,
+             CAST(sum(wt.w_milli - 1000) AS BIGINT) AS logit_milli
+      FROM k JOIN wt USING (bucket) GROUP BY k.doc_id
+    ),
+    s AS (
+      SELECT t.pos, coalesce(lg.logit_milli, 0) > 0 AS pred
+      FROM t LEFT JOIN lg USING (doc_id)
+    )
+    SELECT CAST(sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((sum(CASE WHEN pred = pos THEN 1 ELSE 0 END) * 1000)
+                // count(*) AS BIGINT) AS accuracy_milli
+    FROM s
+    """,
+)
+def ql_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-then-eval in one plan: score every document with the
+    ql_classifier_train weights (logit = sum over tokens of
+    w_milli - 1000, i.e. log-odds-ish around the neutral ratio 1.000;
+    pred = logit > 0) and roll up the confusion matrix against the seed
+    labels — the self-diagnostic a pipeline runs before trusting a
+    freshly trained filter (the north rule's F1 gate, computed on the
+    cluster instead of a driver-side sklearn pass).
+
+    Scale shape: the trained weight table is <= 256 rows — broadcast to
+    the scoring join, so the corpus never shuffles on bucket; per-doc
+    logits are one groupBy(doc_id) with map-side partial sums; the
+    confusion rollup is a global agg of four integer counters (partial
+    agg makes the final shuffle 1 row per task). Docs with zero tokens
+    re-enter at the left join with logit 0 -> pred false, so short/empty
+    pages are counted, not dropped."""
+    weights = ql_classifier_train(spark, sf).select("bucket", "w_milli")
+    docs = load(spark, sf, "documents")
+    logits = (
+        docs.select("doc_id", F.explode(_toks()).alias("w"))
+        .select(
+            "doc_id",
+            F.expr(_clf_bucket_sql("instr")).cast("long").alias("bucket"),
+        )
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w_milli") - 1000).cast("long").alias("logit_milli")
+        )
+    )
+    scored = (
+        docs.select(
+            "doc_id",
+            (F.coalesce(F.col("lang"), F.lit("")) == _CLF_POS_LANG).alias("pos"),
+        )
+        .join(logits, "doc_id", "left")
+        .select(
+            "pos",
+            (F.coalesce(F.col("logit_milli"), F.lit(0)) > 0).alias("pred"),
+        )
+    )
+    return scored.agg(
+        F.sum(F.when(F.col("pred") & F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(((tp + tn) * 1000) DIV (tp + fp + fn + tn) AS BIGINT)"
+        ).alias("accuracy_milli"),
+    )
+
+
 # --------------------------------------------------- stratified sampling
 
 # per-language md5-hex-prefix keep thresholds (4 hex chars, compared

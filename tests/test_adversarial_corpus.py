@@ -44,6 +44,8 @@ QUERIES_UNDER_TEST = [
     "txt_pack_bins",
     "txt_char_entropy",
     "ql_classifier_score",
+    "ql_classifier_train",
+    "ql_classifier_eval",
     "ql_dsir_importance",
     "txt_doc_chunk",
     "ql_stratified_sample",

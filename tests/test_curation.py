@@ -302,3 +302,76 @@ def test_threshold_sweep_monotone(spark, reg):
         assert b.keep_permille <= a.keep_permille
     # and at 500 real docs the sweep must actually discriminate
     assert rows[0].n_keep > rows[-1].n_keep
+
+
+def _clf_py_weights(docs):
+    """Python recount of ql_classifier_train's sufficient statistics and
+    integer milli-odds weights (exactly the Laplace cross-multiply)."""
+    c_pos: Counter = Counter()
+    c_neg: Counter = Counter()
+    for _doc_id, text, lang, _n in docs:
+        tgt = c_pos if (lang or "") == "en" else c_neg
+        for w in _tokens(text or ""):
+            h = hashlib.md5(w.encode()).hexdigest()
+            tgt[int(h[0], 16) * 16 + int(h[1], 16)] += 1
+    t_pos, t_neg = sum(c_pos.values()), sum(c_neg.values())
+    weights = {
+        b: ((c_pos[b] + 1) * (t_neg + 256) * 1000)
+        // ((c_neg[b] + 1) * (t_pos + 256))
+        for b in set(c_pos) | set(c_neg)
+    }
+    return c_pos, c_neg, weights
+
+
+def test_classifier_train_matches_python_recount(spark, reg, docs):
+    c_pos, c_neg, weights = _clf_py_weights(docs)
+    got = {
+        r.bucket: r
+        for r in reg.QUERIES["ql_classifier_train"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(weights)
+    assert all(0 <= b < 256 for b in got)
+    for b, r in got.items():
+        assert (r.c_pos, r.c_neg) == (c_pos[b], c_neg[b]), b
+        assert r.w_milli == weights[b], b
+    # the trainer must actually discriminate on the real corpus: some
+    # buckets above the neutral ratio, some below
+    ws = [r.w_milli for r in got.values()]
+    assert min(ws) < 1000 < max(ws)
+
+
+def test_classifier_eval_confusion_matches_python(spark, reg, docs):
+    _c_pos, _c_neg, weights = _clf_py_weights(docs)
+    tp = fp = fn_ = tn = 0
+    for _doc_id, text, lang, _n in docs:
+        logit = 0
+        for w in _tokens(text or ""):
+            h = hashlib.md5(w.encode()).hexdigest()
+            logit += weights[int(h[0], 16) * 16 + int(h[1], 16)] - 1000
+        pred, pos = logit > 0, (lang or "") == "en"
+        if pred and pos:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif pos:
+            fn_ += 1
+        else:
+            tn += 1
+    out = reg.QUERIES["ql_classifier_eval"](spark, SF_SMALL).collect()[0]
+    assert (out.tp, out.fp, out.fn, out.tn) == (tp, fp, fn_, tn)
+    assert out.n_docs == len(docs)
+    assert out.tp + out.fp + out.fn + out.tn == out.n_docs
+    assert out.accuracy_milli == (tp + tn) * 1000 // len(docs)
+
+
+def test_classifier_eval_weights_join_is_broadcast(spark, reg):
+    """The <=256-row trained weight table must BROADCAST to the scoring
+    join — a sort-merge shuffle there would move the whole exploded
+    token table on the bucket key at crawl scale."""
+    plan = (
+        reg.QUERIES["ql_classifier_eval"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
