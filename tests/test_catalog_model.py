@@ -30,7 +30,11 @@ from hypothesis import given, settings, strategies as st
 from streamcorpus_filter_spark.catalog import SnapshotCatalog
 
 # ops: ("append", start_id, n) | ("delete", mod) | ("upsert", ids) |
-# ("compact",)
+# ("compact",) | ("wap", start_id, n, publish?) | ("stage_only", start_id)
+# wap stages a batch then publishes (visible commit) or aborts (no
+# logical change, dir reclaimed); stage_only leaves a PENDING staged
+# batch in the catalog so every later verb — and the final expiry/GC —
+# runs with an unaudited commit sitting in the manifest list.
 _OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.integers(0, 2), st.integers(1, 4)),
@@ -38,6 +42,9 @@ _OPS = st.lists(
         st.tuples(st.just("upsert"), st.lists(
             st.integers(0, 11), min_size=1, max_size=3, unique=True)),
         st.tuples(st.just("compact")),
+        st.tuples(st.just("wap"), st.integers(3, 5), st.integers(1, 3),
+                  st.booleans()),
+        st.tuples(st.just("stage_only"), st.integers(6, 7)),
     ),
     min_size=1,
     max_size=6,
@@ -91,6 +98,28 @@ def test_catalog_mutations_match_model(spark, ops):
                 sorted(updates.items()), "doc_id bigint, v bigint"),
                 ["doc_id"])
             model.update(updates)
+        elif op[0] == "wap":
+            _, start, n, do_publish = op
+            batch = {start * 1000 + j + 10: version for j in range(n)}
+            batch = {k: v for k, v in batch.items() if k not in model}
+            if not batch:
+                continue
+            staged = cat.stage(spark.createDataFrame(
+                sorted(batch.items()), "doc_id bigint, v bigint"))
+            # staged is invisible until the audit decision
+            assert {r.doc_id: r.v
+                    for r in cat.read(spark).collect()} == model
+            if do_publish:
+                cat.publish(staged["snapshot_id"])
+                model.update(batch)
+            else:
+                cat.abort_staged(staged["snapshot_id"])
+                continue  # no visible commit, no trajectory entry
+        elif op[0] == "stage_only":
+            start = op[1]
+            cat.stage(spark.createDataFrame(
+                [(start * 10000, version)], "doc_id bigint, v bigint"))
+            continue  # pending audit: invisible, no trajectory entry
         else:
             cat.compact(spark, target_files=1)
         trajectory.append(len(model))
@@ -115,7 +144,9 @@ def test_catalog_mutations_match_model(spark, ops):
     cat.expire_snapshots()
     cat.remove_orphan_files()
     referenced = {
-        pathlib.Path(s["data_dir"]).name for s in cat.snapshots()
+        pathlib.Path(s["data_dir"]).name
+        for s in cat.snapshots()
+        if s["data_dir"]  # abort tombstones reference no data
     }
     on_disk = {
         p.name for p in (pathlib.Path(root) / "data").iterdir() if p.is_dir()
