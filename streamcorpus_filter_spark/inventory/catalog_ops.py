@@ -472,3 +472,74 @@ def sink_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
         raise AssertionError(f"audit view incomplete: {audit} vs {n_all}")
     cat.publish(staged["snapshot_id"])
     return cat.read(spark)
+
+
+# --------------------------------------------------- sharded export
+
+EXPORT_SHARDS = 8
+_HEX = "0123456789abcdef"
+
+
+def _shard_sql(instr_fn: str, str_type: str) -> str:
+    """Engine-portable shard id in [0, EXPORT_SHARDS): first two md5
+    nibbles of the doc id's decimal string, modulo the shard count —
+    sticky (a doc lands in the same shard on every run/retry) and
+    seedless, the property a resumable export needs."""
+    return (
+        f"((({instr_fn}('{_HEX}', substr(md5(CAST(doc_id AS {str_type})),1,1))-1)*16"
+        f" + {instr_fn}('{_HEX}', substr(md5(CAST(doc_id AS {str_type})),2,1)) - 1)"
+        f" % {EXPORT_SHARDS})"
+    )
+
+
+@register(
+    "sink_export_shards",
+    f"""
+    SELECT CAST({_shard_sql("strpos", "VARCHAR")} AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def sink_export_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data export: write the corpus as a fixed number of
+    hash-assigned shards (the layout a dataloader consumes — balanced,
+    sticky per doc, no rand()) and return the export MANIFEST (per-shard
+    doc/char/byte counts + doc-id range) computed from the ROUND-TRIPPED
+    table, so the write -> manifest -> read cycle is under the driver's
+    value-hash check, not just the aggregation.
+
+    The shard id is content-addressed (md5 of the doc id), so a re-run
+    or a resumed export assigns every doc to the same shard — retries
+    can't shuffle the dataloader's curriculum. The manifest is what the
+    loader uses to size epochs and verify shard integrity at read time.
+
+    Scale shape: the export IS the pipeline's one genuinely global
+    shuffle (repartition on the shard key — unavoidable when the sink
+    prescribes placement); shard count at 100 TB is thousands, keeping
+    each output partition under executor memory, and AQE coalesces the
+    skewless hash buckets. The manifest agg is map-side combinable on
+    the same key, so it adds one ~SHARDS-row shuffle."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_export_"))
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text", "n_chars",
+        F.expr(_shard_sql("instr", "STRING")).cast("long").alias("shard"),
+    )
+    cat.append(
+        docs.repartition(EXPORT_SHARDS, F.col("shard")),
+        partition_by=["shard"],
+    )
+    return (
+        cat.read(spark)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(F.octet_length("text")).alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

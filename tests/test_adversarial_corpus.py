@@ -99,6 +99,7 @@ QUERIES_UNDER_TEST = [
     "scan_partition_evolution",
     "scan_tagged_release",
     "sink_wap_publish",
+    "sink_export_shards",
 ]
 
 _TEXTS = [

@@ -653,3 +653,44 @@ def test_expire_reclaims_storage_on_relocated_table(spark, tmp_path):
     assert out["removed_dirs"] == 2  # raw-path compare reclaimed 0 here
     # live state intact after reclaim at the new location
     assert sorted(r.doc_id for r in c2.read(spark).collect()) == [1, 2]
+
+
+def test_export_shards_layout_and_stickiness(spark, tmp_path, monkeypatch):
+    """The export must land one shard=K directory per shard whose parquet
+    row counts equal the manifest, and shard assignment must be sticky:
+    re-running the export assigns every doc to the same shard."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from streamcorpus_filter_spark.inventory.catalog_ops import (
+        EXPORT_SHARDS,
+        sink_export_shards,
+    )
+
+    made = []
+    real_mkdtemp = tempfile.mkdtemp
+    monkeypatch.setattr(
+        tempfile, "mkdtemp",
+        lambda **kw: made.append(real_mkdtemp(**kw)) or made[-1],
+    )
+    sf = "/root/testdata/sf0.001"
+    manifest = {
+        r.shard: r.n_docs
+        for r in sink_export_shards(spark, sf).collect()
+    }
+    assert sorted(manifest) == list(range(EXPORT_SHARDS))
+    root = pathlib.Path(made[-1]) / "data"
+    (snap_dir,) = root.iterdir()
+    on_disk = {}
+    for d in snap_dir.iterdir():
+        if d.name.startswith("shard="):
+            on_disk[int(d.name.split("=")[1])] = sum(
+                pq.read_metadata(f).num_rows for f in d.glob("*.parquet")
+            )
+    assert on_disk == manifest
+    # sticky: a second export of the same corpus produces the same manifest
+    manifest2 = {
+        r.shard: r.n_docs
+        for r in sink_export_shards(spark, sf).collect()
+    }
+    assert manifest2 == manifest
