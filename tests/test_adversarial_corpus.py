@@ -100,6 +100,7 @@ QUERIES_UNDER_TEST = [
     "scan_tagged_release",
     "sink_wap_publish",
     "sink_export_shards",
+    "pipeline_incremental_ingest",
 ]
 
 _TEXTS = [
