@@ -312,8 +312,24 @@ class SnapshotCatalog:
         # (remove the staged leftover, collapse any crash-orphaned
         # duplicate heads, return the surviving head), never commit a
         # second head on the same dir — which read() would union into
-        # duplicated rows
-        head = self._published_head(staged_snapshot_id)
+        # duplicated rows. Head AND tombstone both present means a racer
+        # crashed mid-adjudication: the retry finishes it by the same
+        # lower-sequence-wins rule — an EARLIER tombstone means the abort
+        # won and this head is a crash-orphan pointing at a deleted dir
+        # (returning it as success would report a published batch that is
+        # gone AND leave read() bricked on the missing path); an earlier
+        # head means the abort lost and its leftover tombstone goes.
+        snaps = self.snapshots()
+        head = self._published_head(staged_snapshot_id, snaps)
+        tomb = self._abort_tombstone(staged_snapshot_id, snaps)
+        if head is not None and tomb is not None:
+            loser = head if tomb["sequence"] < head["sequence"] else tomb
+            (self.root / "snapshots"
+             / f"{loser['sequence']:08d}.json").unlink(missing_ok=True)
+            if loser is head:
+                head = None
+            else:
+                tomb = None
         if head is not None:
             leftover = self._by_id(staged_snapshot_id)
             if leftover is not None:
@@ -321,7 +337,6 @@ class SnapshotCatalog:
                  / f"{leftover['sequence']:08d}.json").unlink(
                     missing_ok=True)
             return head
-        tomb = self._abort_tombstone(staged_snapshot_id)
         if tomb is not None:
             raise ValueError(
                 f"staged snapshot {staged_snapshot_id!r} was aborted — "
@@ -348,7 +363,8 @@ class SnapshotCatalog:
         # helper unlinks every later duplicate, ours included if we
         # lost); a racer that crashes before this point is healed by the
         # next publish()'s pre-scan, which runs the same collapse.
-        out = self._published_head(staged_snapshot_id) or out
+        snaps = self.snapshots()
+        out = self._published_head(staged_snapshot_id, snaps) or out
         # publish-vs-abort of the same staged id serializes through the
         # manifest sequence order: both sides commit their decisive
         # manifest (our head here, abort's tombstone there) and the
@@ -356,7 +372,7 @@ class SnapshotCatalog:
         # the abort won — yield: unlink our head and surface the abort
         # (the tombstone side is deleting the data dir; a head pointing
         # at it would brick every future read of the table).
-        tomb = self._abort_tombstone(staged_snapshot_id)
+        tomb = self._abort_tombstone(staged_snapshot_id, snaps)
         if tomb is not None and tomb["sequence"] < out["sequence"]:
             (self.root / "snapshots"
              / f"{out['sequence']:08d}.json").unlink(missing_ok=True)
@@ -400,14 +416,18 @@ class SnapshotCatalog:
         expires."""
         import shutil
 
-        s = self._by_id(staged_snapshot_id)
+        snaps = self.snapshots()
+        s = next(
+            (o for o in snaps if o["snapshot_id"] == staged_snapshot_id),
+            None,
+        )
         if s is not None and s.get("operation") != "staged":
             raise ValueError(
                 f"snapshot {staged_snapshot_id!r} is "
                 f"{s['operation']!r}, not staged"
             )
-        tomb = self._abort_tombstone(staged_snapshot_id)
-        head = self._published_head(staged_snapshot_id)
+        tomb = self._abort_tombstone(staged_snapshot_id, snaps)
+        head = self._published_head(staged_snapshot_id, snaps)
         if head is not None and (
             tomb is None or head["sequence"] < tomb["sequence"]
         ):
@@ -495,20 +515,27 @@ class SnapshotCatalog:
              / f"{extra['sequence']:08d}.json").unlink(missing_ok=True)
         return matches[0]
 
-    def _published_head(self, staged_snapshot_id: str) -> dict | None:
+    def _published_head(
+        self, staged_snapshot_id: str, snaps: list[dict] | None = None
+    ) -> dict | None:
         """The surviving published head for a staged id (collapsing any
-        crash-orphaned duplicates on the way)."""
+        crash-orphaned duplicates on the way). Pass ``snaps`` to reuse an
+        already-read manifest listing — publish/abort consult this and
+        _abort_tombstone several times per call, and each snapshots()
+        read is a full directory glob + JSON parse."""
         return self._collapse_dupes([
-            s for s in self.snapshots()
+            s for s in (snaps if snaps is not None else self.snapshots())
             if s.get("metrics", {}).get("published_from")
             == staged_snapshot_id
         ])
 
-    def _abort_tombstone(self, staged_snapshot_id: str) -> dict | None:
+    def _abort_tombstone(
+        self, staged_snapshot_id: str, snaps: list[dict] | None = None
+    ) -> dict | None:
         """The surviving abort tombstone for a staged id (collapsing any
         duplicates from racing aborts)."""
         return self._collapse_dupes([
-            s for s in self.snapshots()
+            s for s in (snaps if snaps is not None else self.snapshots())
             if s.get("operation") == "abort"
             and s.get("metrics", {}).get("aborted_from")
             == staged_snapshot_id
@@ -589,6 +616,13 @@ class SnapshotCatalog:
                 raise ValueError(
                     f"cannot tag staged snapshot {snapshot_id!r} — "
                     "publish it first"
+                )
+            if s.get("operation") == "abort":
+                # a tombstone has zero logical content; a tag on it would
+                # silently resolve to the preceding visible prefix and
+                # make expiry protect a read set nobody can mean
+                raise ValueError(
+                    f"cannot tag abort tombstone {snapshot_id!r}"
                 )
         tags_dir = self.root / "tags"
         tags_dir.mkdir(exist_ok=True)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import SnapshotCatalog
 from ..queries import load, register
+from ._text import md5_bucket_sql
 
 
 @register(
@@ -477,19 +478,20 @@ def sink_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------- sharded export
 
 EXPORT_SHARDS = 8
-_HEX = "0123456789abcdef"
 
 
 def _shard_sql(instr_fn: str, str_type: str) -> str:
-    """Engine-portable shard id in [0, EXPORT_SHARDS): first two md5
-    nibbles of the doc id's decimal string, modulo the shard count —
+    """Engine-portable shard id in [0, EXPORT_SHARDS): the first md5
+    nibble of the doc id's decimal string, modulo the shard count —
     sticky (a doc lands in the same shard on every run/retry) and
-    seedless, the property a resumable export needs."""
-    return (
-        f"((({instr_fn}('{_HEX}', substr(md5(CAST(doc_id AS {str_type})),1,1))-1)*16"
-        f" + {instr_fn}('{_HEX}', substr(md5(CAST(doc_id AS {str_type})),2,1)) - 1)"
-        f" % {EXPORT_SHARDS})"
+    seedless, the property a resumable export needs. ONE nibble: a
+    second would be dead math for any shard count dividing 16 (the
+    *16 term vanishes mod 8) — widen to nibbles=2 only when the shard
+    count exceeds 16."""
+    bucket = md5_bucket_sql(
+        instr_fn, f"CAST(doc_id AS {str_type})", nibbles=1
     )
+    return f"({bucket} % {EXPORT_SHARDS})"
 
 
 @register(

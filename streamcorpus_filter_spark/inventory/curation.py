@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..kernels.rules import STOPWORDS
 from ..queries import load, register
-from ._text import _WS, _fnv1a, _toks  # noqa: F401  (re-exported: tests import from here)
+from ._text import (  # noqa: F401  (re-exported: tests import from here)
+    _WS,
+    _fnv1a,
+    _toks,
+    md5_bucket_sql,
+)
 
 
 # --------------------------------------------------- linear classifier
@@ -114,17 +119,12 @@ def ql_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
 # map-side-combinable shuffle of at most 256 rows per map partition.
 CLF_TRAIN_BUCKETS = 256
 _CLF_POS_LANG = "en"
-_HEX = "0123456789abcdef"
 
 
 def _clf_bucket_sql(instr_fn: str, col: str = "w") -> str:
-    """0-based hashed-token bucket in [0, 256): position-in-hex-alphabet
-    of the first two md5 nibbles (both engines' instr/strpos are
-    1-based, so (i1-1)*16 + (i2-1) lands in [0, 255])."""
-    return (
-        f"(({instr_fn}('{_HEX}', substr(md5({col}),1,1))-1)*16"
-        f" + {instr_fn}('{_HEX}', substr(md5({col}),2,1)) - 1)"
-    )
+    """0-based hashed-token bucket in [0, 256) — the shared
+    md5-nibble construction (inventory/_text.py)."""
+    return md5_bucket_sql(instr_fn, col, nibbles=2)
 
 
 _CLF_TRAIN_CTES = f"""

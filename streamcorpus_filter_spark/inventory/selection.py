@@ -50,7 +50,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..queries import load, register
-from ._text import _WS, _fnv1a, _toks
+from ._text import _WS, _fnv1a, _toks, md5_bucket_sql
 
 # --------------------------------------------------- doc chunking
 
@@ -141,17 +141,10 @@ DSIR_BUCKETS = 256
 DSIR_WEIGHTS: list[int] = [
     (_fnv1a(f"dsir:{b}") % 2001) - 1000 for b in range(DSIR_BUCKETS)
 ]
-_HEX = "0123456789abcdef"
-
-
 def _dsir_bucket_sql(instr_fn: str) -> str:
-    """1-based weight index for a bigram ``bg``: md5-prefix nibbles via
-    position-in-hex-alphabet (both engines return 1-based positions, so
-    bucket+1 = (i1-1)*16 + i2 directly)."""
-    return (
-        f"({instr_fn}('{_HEX}', substr(md5(bg),1,1))-1)*16"
-        f" + {instr_fn}('{_HEX}', substr(md5(bg),2,1))"
-    )
+    """1-based weight index for a bigram ``bg`` (the shared md5-nibble
+    bucket, inventory/_text.py, shifted for element_at indexing)."""
+    return f"({md5_bucket_sql(instr_fn, 'bg', nibbles=2)} + 1)"
 
 
 @register(

@@ -351,3 +351,80 @@ def test_tags_listing_tolerates_concurrent_delete(spark, tmp_path):
         out = c.tags()
     assert out["keep"] == c.snapshots()[-1]["snapshot_id"]
     assert "scratch" not in out
+
+
+def test_publish_retry_yields_to_earlier_tombstone_and_heals_brick(spark, tmp_path):
+    """A publisher that commits its head AFTER an abort tombstone but
+    crashes before its own yield-check leaves: tombstone seq N + orphan
+    head seq N+1 pointing at a data dir the abort deleted — read() is
+    bricked on the missing path. A publish RETRY must finish the
+    adjudication (lower sequence wins): unlink the orphan head and raise
+    'was aborted' — returning the head as success would report a
+    published batch whose bytes are gone."""
+    import time as _time
+    import uuid as _uuid
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_df(spark, 0, 2))
+    staged = c.stage(_df(spark, 2, 4))
+    c.abort_staged(staged["snapshot_id"])  # abort wins, dir deleted
+    # simulate the crashed publisher: head committed after the tombstone,
+    # process died before its tombstone check could unlink it
+    c._commit_manifest({
+        "sequence": -1,
+        "snapshot_id": _uuid.uuid4().hex[:16],
+        "parent_id": None,
+        "committed_at": _time.time(),
+        "operation": "append",
+        "data_dir": staged["data_dir"],
+        "input_files": [],
+        "metrics": {"published_from": staged["snapshot_id"]},
+        "partition_by": [],
+        "schema_json": staged.get("schema_json"),
+    })
+    with pytest.raises(Exception):
+        c.read(spark).collect()  # the brick: head references deleted dir
+    with pytest.raises(ValueError, match="aborted"):
+        c.publish(staged["snapshot_id"])  # retry adjudicates, never "succeeds"
+    # the orphan head is gone and the table reads clean again
+    assert sorted(r.id for r in c.read(spark).collect()) == [0, 1]
+    heads = [
+        s for s in c.snapshots()
+        if s.get("metrics", {}).get("published_from") == staged["snapshot_id"]
+    ]
+    assert heads == []
+
+
+def test_abort_retry_drops_leftover_tombstone_when_publish_won(spark, tmp_path):
+    """Mirror case: the publish head committed FIRST, the losing abort
+    crashed after committing its later tombstone but before unlinking
+    it. A publish retry must treat the earlier head as the winner,
+    remove the leftover tombstone, and return the head."""
+    import time as _time
+    import uuid as _uuid
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_df(spark, 0, 2))
+    staged = c.stage(_df(spark, 2, 4))
+    head = c.publish(staged["snapshot_id"])  # publish wins
+    # simulate the crashed aborter's leftover later-sequence tombstone
+    c._commit_manifest({
+        "sequence": -1,
+        "snapshot_id": _uuid.uuid4().hex[:16],
+        "parent_id": None,
+        "committed_at": _time.time(),
+        "operation": "abort",
+        "data_dir": "",
+        "input_files": [],
+        "metrics": {"aborted_from": staged["snapshot_id"],
+                    "aborted_data_dir": staged["data_dir"]},
+        "partition_by": [],
+        "schema_json": None,
+    })
+    again = c.publish(staged["snapshot_id"])
+    assert again["snapshot_id"] == head["snapshot_id"]
+    tombs = [
+        s for s in c.snapshots() if s.get("operation") == "abort"
+    ]
+    assert tombs == []
+    assert sorted(r.id for r in c.read(spark).collect()) == [0, 1, 2, 3]

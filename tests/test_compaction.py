@@ -694,3 +694,16 @@ def test_export_shards_layout_and_stickiness(spark, tmp_path, monkeypatch):
         for r in sink_export_shards(spark, sf).collect()
     }
     assert manifest2 == manifest
+
+
+def test_tag_refuses_abort_tombstone(spark, tmp_path):
+    """A tag anchored to an abort tombstone would silently resolve to
+    the preceding visible prefix and make expiry protect a read set
+    nobody can mean — refuse it like the staged case."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(spark.createDataFrame([(1, 10)], "doc_id bigint, v bigint"))
+    staged = c.stage(spark.createDataFrame([(2, 20)], "doc_id bigint, v bigint"))
+    c.abort_staged(staged["snapshot_id"])
+    (tomb,) = [s for s in c.snapshots() if s["operation"] == "abort"]
+    with pytest.raises(ValueError, match="tombstone"):
+        c.tag("v1", tomb["snapshot_id"])
