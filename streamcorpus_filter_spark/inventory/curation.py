@@ -308,6 +308,132 @@ def ql_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ classifier calibration
+
+# reliability bins over the logit: clamp to [-4000, 3999], 1000-milli
+# wide -> 8 bins. Clamp-then-shift keeps the binning in NON-NEGATIVE
+# integers so truncating division (DIV / //) equals floor on both
+# engines — no half-mode or negative-floor divergence possible.
+CLF_CAL_CLAMP = 4000
+CLF_CAL_BIN = 1000
+
+_CAL_BIN_SQL = (
+    f"(greatest(least(logit, {CLF_CAL_CLAMP - 1}), -{CLF_CAL_CLAMP})"
+    f" + {CLF_CAL_CLAMP})"
+)
+
+
+@register(
+    "ql_classifier_calibration",
+    f"""
+    WITH {_CLF_TRAIN_CTES},
+    lg AS (
+      SELECT k.doc_id,
+             CAST(sum(wt.w_milli - 1000) AS BIGINT) AS logit_milli
+      FROM k JOIN wt USING (bucket) GROUP BY k.doc_id
+    ),
+    s AS (
+      SELECT t.pos, coalesce(lg.logit_milli, 0) AS logit
+      FROM t LEFT JOIN lg USING (doc_id)
+    ),
+    b AS (
+      SELECT CAST({_CAL_BIN_SQL} // {CLF_CAL_BIN} AS BIGINT) AS bin,
+             pos, logit
+      FROM s
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000) // count(*)
+                AS BIGINT) AS pos_rate_milli,
+           CAST(CAST(sum(logit) AS BIGINT) // count(*)
+                AS BIGINT) AS mean_logit_milli
+    FROM b GROUP BY bin
+    """,
+)
+def ql_classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram for the on-cluster classifier: bin every
+    document's logit into 8 fixed 1000-milli-wide bins (clamped at
+    +/-4000) and report, per bin, the document count, the positive-label
+    count, the empirical positive rate, and the mean logit — the
+    calibration table an operator reads before picking a keep threshold
+    (is logit 2000 actually ~88% positive, or is the scorer
+    over-confident?). Complements ql_classifier_eval's single confusion
+    matrix and ql_threshold_sweep's volume curve with the
+    per-confidence-band ground-truth rate.
+
+    Integer discipline: logits are exact integer milli-units
+    (ql_classifier_train weights), binning clamps THEN shifts into
+    non-negative range so truncating DIV is floor on both engines, and
+    rates/means are integer cross-multiplication — no float enters any
+    compare. mean_logit sums can be negative; Spark DIV and DuckDB //
+    both truncate toward zero, the repo's established pair.
+
+    Scale shape: same as ql_classifier_eval — <=256-row weight table
+    broadcast to the scoring join (the exploded token stream never
+    shuffles on bucket), per-doc logits via map-side-combinable
+    groupBy(doc_id), then a groupBy on a BOUNDED 8-bin key space whose
+    partial aggregation collapses each task to <=8 rows before the
+    final exchange."""
+    weights = ql_classifier_train(spark, sf).select("bucket", "w_milli")
+    docs = load(spark, sf, "documents")
+    logits = (
+        docs.select("doc_id", F.explode(_toks()).alias("w"))
+        .select(
+            "doc_id",
+            F.expr(_clf_bucket_sql("instr")).cast("long").alias("bucket"),
+        )
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w_milli") - 1000).cast("long").alias("logit_milli")
+        )
+    )
+    binned = (
+        docs.select(
+            "doc_id",
+            (F.coalesce(F.col("lang"), F.lit("")) == _CLF_POS_LANG).alias(
+                "pos"
+            ),
+        )
+        .join(logits, "doc_id", "left")
+        .select(
+            "pos",
+            F.coalesce(F.col("logit_milli"), F.lit(0))
+            .cast("long")
+            .alias("logit"),
+        )
+        .select(
+            F.expr(
+                f"CAST({_CAL_BIN_SQL} DIV {CLF_CAL_BIN} AS BIGINT)"
+            ).alias("bin"),
+            "pos",
+            "logit",
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum("logit").cast("long").alias("__s_logit"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("CAST((n_pos * 1000) DIV n_docs AS BIGINT)").alias(
+                "pos_rate_milli"
+            ),
+            F.expr("CAST(__s_logit DIV n_docs AS BIGINT)").alias(
+                "mean_logit_milli"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------- stratified sampling
 
 # per-language md5-hex-prefix keep thresholds (4 hex chars, compared

@@ -870,7 +870,7 @@ def _ann_oracle() -> str:
     CANDIDATE's assigned codeword, shortlist by (adc, nn_id), then the
     exact-cosine re-rank. Everything before the re-rank is exact int64,
     so the shortlist is bit-equal across engines at any sf."""
-    from .selection import PQ_K, PQ_M, PQ_SUB
+    from ._pq import PQ_K, PQ_M, PQ_SUB  # leaf: safe at decorator time
 
     sub = (
         "list_sum(list_transform(range(1, {s}), j -> "
@@ -960,7 +960,8 @@ def sim_ann_persisted(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from ..catalog import SnapshotCatalog
-    from .selection import PQ_K, PQ_M, PQ_SUB, _pq_codebook
+    from ._pq import PQ_K, PQ_M, PQ_SUB
+    from .selection import _pq_codebook
 
     e = load(spark, sf, "embeddings")
     bc = _ivf_centroids_bc(spark, e, sf)

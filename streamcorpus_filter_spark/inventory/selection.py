@@ -214,24 +214,14 @@ def ql_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------- product quantization
 
-PQ_M = 8  # subspaces
-PQ_SUB = 8  # dims per subspace (embeddings are 64-dim)
-PQ_K = 16  # centroids per subspace -> 4-bit codes
-# clamp quantized milli-units so a squared-diff sum can never leave
-# BIGINT range on either engine (adversarial vectors go to 1e6
-# magnitude: (2e9)^2 * 8 would overflow int64; (2e6)^2 * 8 cannot —
-# DuckDB would silently widen to HUGEINT while Spark wraps, so the
-# clamp is what keeps the two engines bit-identical)
-PQ_CLAMP = 1_000_000
+# constants + quantize SQL live in the LEAF module _pq.py (re-exported
+# here for existing consumers/tests) so dedup.py's oracle f-strings can
+# import them at module-import time without an inventory cross-import
+from ._pq import _QUANT_DUCK, _QUANT_SPARK, PQ_CLAMP, PQ_K, PQ_M, PQ_SUB
 
-_QUANT_SPARK = (
-    "transform(embedding, x -> greatest(least(CAST(floor(CAST(x AS DOUBLE)"
-    f" * 1000) AS BIGINT), {PQ_CLAMP}), -{PQ_CLAMP}))"
-)
-_QUANT_DUCK = (
-    "list_transform(embedding, x -> greatest(least(CAST(floor(CAST(x AS"
-    f" DOUBLE) * 1000) AS BIGINT), {PQ_CLAMP}), -{PQ_CLAMP}))"
-)
+__all__ = [  # noqa: F822 — re-exports consumed by tests and dedup.py
+    "PQ_M", "PQ_SUB", "PQ_K", "PQ_CLAMP", "_QUANT_SPARK", "_QUANT_DUCK",
+]
 
 _PQ_CACHE: dict[tuple[str, str], list[list[list[int]]]] = {}
 
@@ -408,3 +398,170 @@ def ql_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "documents").select(
         "doc_id", "lang", b.alias("bucket"), split.alias("split")
     )
+
+
+# --------------------------------------------------- distributed k-means
+
+KM_K = 4  # clusters
+KM_ITERS = 2  # Lloyd centroid updates (fixed -> both engines recompute)
+KM_DIM = 64
+
+
+def _km_dist(q: str, c: str) -> str:
+    """Integer squared L2 between two quantized BIGINT lists (DuckDB).
+    Max term (2e6)^2, x64 dims = 2.56e14 — inside BIGINT; list_sum may
+    widen to HUGEINT, so every consumer CASTs back."""
+    return (
+        f"list_sum(list_transform(range(1, {KM_DIM + 1}), j -> "
+        f"({q}[CAST(j AS INT)] - {c}[CAST(j AS INT)])"
+        f" * ({q}[CAST(j AS INT)] - {c}[CAST(j AS INT)])))"
+    )
+
+
+def _km_oracle() -> str:
+    """Chained-CTE Lloyd recomputation: init c0 = quantized vectors of
+    the KM_K smallest vec_ids, then KM_ITERS rounds of
+    (argmin assignment -> truncating-integer-mean update), then a final
+    assignment. Ties break on the smallest centroid id (ORDER BY dist,
+    k), empty clusters simply drop out of the GROUP BY — both exactly
+    what the Spark side's numpy argmin over k-sorted centroids and
+    groupBy update produce."""
+    dist = _km_dist("q.qe", "c.ce")
+    parts = [
+        f"q AS (SELECT vec_id, {_QUANT_DUCK} AS qe FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS k, qe AS ce FROM q WHERE vec_id < {KM_K})",
+    ]
+    for t in range(1, KM_ITERS + 1):
+        parts.append(
+            f"d{t} AS (SELECT q.vec_id, c.k, {dist} AS dist"
+            f" FROM q CROSS JOIN c{t - 1} c)"
+        )
+        parts.append(
+            f"a{t} AS (SELECT vec_id, k, row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d{t})"
+        )
+        parts.append(
+            f"c{t} AS (SELECT k, list(cm ORDER BY j) AS ce FROM ("
+            f"SELECT a.k, j.j,"
+            f" CAST(sum(q.qe[CAST(j.j AS INT)]) AS BIGINT) // count(*) AS cm"
+            f" FROM (SELECT vec_id, k FROM a{t} WHERE rn = 1) a"
+            f" JOIN q USING (vec_id)"
+            f" CROSS JOIN range(1, {KM_DIM + 1}) j(j)"
+            f" GROUP BY a.k, j.j) GROUP BY k)"
+        )
+    parts.append(
+        f"fin AS (SELECT q.vec_id, c.k, {dist} AS dist"
+        f" FROM q CROSS JOIN c{KM_ITERS} c)"
+    )
+    parts.append(
+        "r AS (SELECT vec_id, k, dist, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM fin)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT vec_id, CAST(k AS BIGINT) AS cluster,"
+        " CAST(dist AS BIGINT) AS dist_sq FROM r WHERE rn = 1"
+    )
+
+
+@register("emb_kmeans_lloyd", _km_oracle())
+def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column — the
+    topic-clustering workhorse a curation pipeline runs before
+    cluster-balanced sampling or SemDeDup-style per-cluster dedup.
+    KM_K=4 centroids, deterministic init (the KM_K smallest vec_ids,
+    the emb_pq_quantize codebook convention), KM_ITERS=2 fixed update
+    rounds so the DuckDB oracle recomputes the whole trajectory at any
+    sf. All math on clamped integer milli-units: assignment distances,
+    centroid means (truncating DIV on both engines), and the output
+    dist_sq are exact integers, so the result is bit-stable under any
+    partitioning, retry, or engine.
+
+    Scale shape (the MLlib shape, minus floats): per iteration, ONE
+    corpus scan feeds an Arrow-fence numpy kernel that emits per-batch
+    PARTIAL SUMS — at most KM_K x 64 rows per batch, i.e. the
+    map-side-combine analog — which a groupBy on the bounded
+    (cluster, dim) key space reduces to <= 256 rows, collected and
+    rebroadcast as the next iteration's task-closure centroids. The
+    corpus itself never shuffles; driver traffic is O(K x dim) per
+    round. Final assignment is map-only. Ties: numpy argmin = first
+    minimum over k-ascending centroids = the oracle's ORDER BY dist, k;
+    a cluster emptied by an update drops out of the groupBy on BOTH
+    engines and later rounds proceed with the survivors."""
+    import numpy as np
+    import pandas as pd
+
+    load(spark, sf, "embeddings").createOrReplaceTempView("emb_km_v")
+    q = spark.sql(f"SELECT vec_id, {_QUANT_SPARK} AS qe FROM emb_km_v")
+
+    init = (
+        q.filter(F.col("vec_id") < KM_K)
+        .orderBy("vec_id")
+        .select("vec_id", "qe")
+        .collect()
+    )  # bounded: KM_K rows
+    ks = [int(r.vec_id) for r in init]
+    cb = np.array([list(r.qe) for r in init], dtype=np.int64)
+
+    def _partials(karr: "np.ndarray", c: "np.ndarray"):
+        def gen(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["qe"].to_numpy()).astype(np.int64)
+                d = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+                a = d.argmin(1)  # first min = smallest centroid id
+                rows = {"k": [], "j": [], "s": [], "n": []}
+                for i, k in enumerate(karr):
+                    m = a == i
+                    cnt = int(m.sum())
+                    if not cnt:
+                        continue
+                    s = x[m].sum(0)
+                    rows["k"] += [int(k)] * KM_DIM
+                    rows["j"] += list(range(1, KM_DIM + 1))
+                    rows["s"] += [int(v) for v in s]
+                    rows["n"] += [cnt] * KM_DIM
+                if rows["k"]:
+                    yield pd.DataFrame(rows)
+
+        return gen
+
+    for _ in range(KM_ITERS):
+        karr = np.array(ks, dtype=np.int64)
+        part = q.mapInPandas(
+            _partials(karr, cb), "k long, j long, s long, n long"
+        )
+        cent = (
+            part.groupBy("k", "j")
+            .agg(F.expr("CAST(sum(s) DIV sum(n) AS BIGINT)").alias("cm"))
+            .collect()
+        )  # bounded: <= KM_K x 64 rows
+        byk: dict[int, dict[int, int]] = {}
+        for r in cent:
+            byk.setdefault(int(r.k), {})[int(r.j)] = int(r.cm)
+        ks = sorted(byk)
+        cb = np.array(
+            [[byk[k][j] for j in range(1, KM_DIM + 1)] for k in ks],
+            dtype=np.int64,
+        )
+
+    karr = np.array(ks, dtype=np.int64)
+    final_cb = cb
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["qe"].to_numpy()).astype(np.int64)
+            d = ((x[:, None, :] - final_cb[None]) ** 2).sum(-1)
+            a = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": karr[a],
+                    "dist_sq": np.take_along_axis(d, a[:, None], 1)[:, 0],
+                }
+            )
+
+    return q.mapInPandas(assign, "vec_id long, cluster long, dist_sq long")

@@ -26,7 +26,12 @@ QUERIES_UNDER_TEST = ["dedup_embedding_cosine", "sim_topk_bruteforce",
                       # they can face the adversarial vectors too (zero
                       # vectors land in the codebook/centroid init; 1e6
                       # magnitudes exercise the quantization clamp)
-                      "sim_ivf_topk", "sim_ann_persisted"]
+                      "sim_ivf_topk", "sim_ann_persisted",
+                      # round 4: distributed Lloyd — the duplicate zero
+                      # vectors at vec_id 0/1 make init centroids 0 and 1
+                      # IDENTICAL, so the tie-break and the
+                      # empty-cluster-drops-out path both execute
+                      "emb_kmeans_lloyd"]
 
 
 def _vectors() -> list[list[float]]:

@@ -375,3 +375,43 @@ def test_classifier_eval_weights_join_is_broadcast(spark, reg):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_calibration_matches_python_recount(spark, reg, docs):
+    _cp, _cn, weights = _clf_py_weights(docs)
+    bins: dict[int, list[int]] = {}  # bin -> [n, n_pos, sum_logit]
+    for _doc_id, text, lang, _n in docs:
+        logit = 0
+        for w in _tokens(text or ""):
+            h = hashlib.md5(w.encode()).hexdigest()
+            logit += weights[int(h[0], 16) * 16 + int(h[1], 16)] - 1000
+        b = (max(min(logit, 3999), -4000) + 4000) // 1000
+        agg = bins.setdefault(b, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += 1 if (lang or "") == "en" else 0
+        agg[2] += logit
+    got = {
+        r.bin: r
+        for r in reg.QUERIES["ql_classifier_calibration"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(bins)
+    for b, (n, npos, slog) in bins.items():
+        r = got[b]
+        assert (r.n_docs, r.n_pos) == (n, npos), b
+        assert r.pos_rate_milli == (npos * 1000) // n, b
+        # truncation toward zero (Spark DIV / DuckDB //), not floor
+        want_mean = (abs(slog) // n) * (1 if slog >= 0 else -1)
+        assert r.mean_logit_milli == want_mean, b
+    assert sum(r.n_docs for r in got.values()) == len(docs)
+
+
+def test_classifier_calibration_weights_join_is_broadcast(spark, reg):
+    plan = (
+        reg.QUERIES["ql_classifier_calibration"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -220,3 +220,84 @@ def test_hash_split_is_sticky_under_increments(spark, reg):
         b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
         want = "train" if b <= "cb" else ("val" if b <= "e5" else "test")
         assert split == want
+
+
+# ------------------------------------------------------------- k-means
+
+
+def test_kmeans_lloyd_recount(spark, reg):
+    """Pure-numpy recount of the whole Lloyd trajectory (init ->
+    KM_ITERS truncating-mean updates -> final assignment), independent
+    of both the Spark plan and the DuckDB oracle, so a shared SQL
+    mistake can't self-confirm."""
+    import numpy as np
+    from streamcorpus_filter_spark.inventory.selection import (
+        KM_ITERS,
+        KM_K,
+        PQ_CLAMP,
+    )
+
+    rows = (
+        duckdb.connect()
+        .execute(f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet' ORDER BY vec_id")
+        .fetchall()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    x = np.array(
+        [
+            [
+                max(min(math.floor(float(v) * 1000), PQ_CLAMP), -PQ_CLAMP)
+                for v in r[1]
+            ]
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
+    ks = [int(i) for i in ids if i < KM_K]
+    cb = x[np.isin(ids, ks)]
+
+    def assign(c):
+        d = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+        return d.argmin(1), d
+
+    for _ in range(KM_ITERS):
+        a, _ = assign(cb)
+        nxt_ks, nxt = [], []
+        for i, k in enumerate(ks):
+            m = a == i
+            if not m.sum():
+                continue  # empty cluster drops out
+            s = x[m].sum(0)
+            n = int(m.sum())
+            # truncating division toward zero == Spark DIV / DuckDB //
+            nxt_ks.append(k)
+            nxt.append(np.sign(s) * (np.abs(s) // n))
+        order = np.argsort(nxt_ks)
+        ks = [nxt_ks[i] for i in order]
+        cb = np.stack(nxt)[order]
+
+    a, d = assign(cb)
+    want = {
+        int(ids[i]): (ks[a[i]], int(d[i, a[i]])) for i in range(len(ids))
+    }
+    got = {
+        int(r.vec_id): (int(r.cluster), int(r.dist_sq))
+        for r in reg.QUERIES["emb_kmeans_lloyd"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_lloyd_structure(spark, reg):
+    from streamcorpus_filter_spark.inventory.selection import KM_K
+
+    out = reg.QUERIES["emb_kmeans_lloyd"](spark, SF_SMALL).collect()
+    n_emb = (
+        duckdb.connect()
+        .execute(f"SELECT count(*) FROM '{SF_SMALL}/embeddings.parquet'")
+        .fetchone()[0]
+    )
+    assert len(out) == n_emb  # every vector assigned exactly once
+    assert {r.vec_id for r in out} == set(range(n_emb))
+    clusters = {r.cluster for r in out}
+    assert clusters <= set(range(KM_K)) and len(clusters) >= 2
+    assert all(r.dist_sq >= 0 for r in out)
