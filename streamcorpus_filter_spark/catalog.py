@@ -254,16 +254,75 @@ class SnapshotCatalog:
     # superseding every older snapshot on the read path
     _REWRITE_OPS = ("replace", "merge")
 
-    @classmethod
-    def _from_last_replace(cls, chain: list[dict]) -> list[dict]:
-        """Cut the chain at its most recent rewrite (replace/merge)
-        snapshot: that snapshot's data dir holds the whole table state at
-        its commit, so everything older is superseded (exactly how an
-        Iceberg reader resolves a rewrite)."""
-        for i in range(len(chain) - 1, -1, -1):
-            if chain[i].get("operation") in cls._REWRITE_OPS:
-                return chain[i:]
-        return chain
+    def _resolve_read_set(
+        self,
+        chain: list[dict],
+        audit_id: str | None = None,
+        traversed: set[str] | None = None,
+    ) -> list[dict]:
+        """The manifests whose data dirs constitute the logical state at
+        the END of ``chain`` — how an Iceberg reader resolves a snapshot.
+        Walk backwards collecting appends; STOP at a rewrite
+        (replace/merge: its dir holds the whole state); on a ROLLBACK
+        manifest, JUMP to its target and keep walking (the rollback is
+        metadata-only — its state IS the target's state, plus whatever
+        was appended after the rollback, which this walk has already
+        collected). Staged commits are invisible unless ``audit_id``
+        names one (the write-audit view); abort tombstones carry no
+        content. Returned in chronological order."""
+        by_id = {s["snapshot_id"]: i for i, s in enumerate(chain)}
+        sel: list[dict] = []
+        i = len(chain) - 1
+        while i >= 0:
+            s = chain[i]
+            op = s.get("operation")
+            if op == "abort" or (
+                op == "staged" and s["snapshot_id"] != audit_id
+            ):
+                i -= 1
+                continue
+            if op == "rollback":
+                if traversed is not None:
+                    # expiry must keep traversed rollback manifests: they
+                    # are the redirect pointers the surviving read set is
+                    # resolved through (metadata-only, zero storage)
+                    traversed.add(s["snapshot_id"])
+                tgt = s["metrics"]["rollback_to"]
+                j = by_id.get(tgt)
+                if j is None:
+                    raise ValueError(
+                        f"rollback target {tgt!r} is not in the manifest "
+                        "chain — it was expired or lies outside the "
+                        "requested snapshot's history"
+                    )
+                i = j  # target sequence < rollback sequence: terminates
+                continue
+            sel.append(s)
+            if op in self._REWRITE_OPS:
+                break
+            i -= 1
+        return sel[::-1]
+
+    def _timeline_ids(self, snaps: list[dict]) -> set[str]:
+        """Snapshot ids ON the current logical timeline: the backward
+        walk from the head that follows rollback jumps but (unlike the
+        read resolver) continues PAST rewrites down to the root.
+        Manifests absent from this set were rolled off — their appends'
+        input-file lineage is no longer table content."""
+        by_id = {s["snapshot_id"]: i for i, s in enumerate(snaps)}
+        on: set[str] = set()
+        i = len(snaps) - 1
+        while i >= 0:
+            s = snaps[i]
+            on.add(s["snapshot_id"])
+            if s.get("operation") == "rollback":
+                j = by_id.get(s["metrics"]["rollback_to"])
+                if j is None:
+                    break  # target expired: nothing older is decidable
+                i = j
+                continue
+            i -= 1
+        return on
 
     # ---------------------------------------------- write-audit-publish
 
@@ -688,18 +747,13 @@ class SnapshotCatalog:
         chain = self._chain(snapshot_id)
         if not chain:
             raise ValueError(f"catalog {self.root} has no snapshots")
-        snaps = self._from_last_replace(chain)
         # staged (write-audit-publish) snapshots are INVISIBLE to reads —
         # except when the auditor requests one by id, which yields the
         # audit view: main as of that point plus the staged batch on top.
         # abort tombstones carry zero logical content and are NEVER read
-        # (their data_dir points at a deleted batch).
-        snaps = [
-            s for s in snaps
-            if s.get("operation") != "abort"
-            and (s.get("operation") != "staged"
-                 or s["snapshot_id"] == snapshot_id)
-        ]
+        # (their data_dir points at a deleted batch). rollback manifests
+        # redirect the walk to their target (metadata-only restore).
+        snaps = self._resolve_read_set(chain, audit_id=snapshot_id)
         if not snaps:
             raise ValueError(
                 f"catalog {self.root} has no visible snapshots "
@@ -763,6 +817,16 @@ class SnapshotCatalog:
                     f"{s['snapshot_id']!r}: upserted rows are not "
                     "representable as an append delta — re-read the full "
                     "table or consume from after the merge"
+                )
+            if s.get("operation") == "rollback":
+                # rows DISAPPEARED at the rollback — an append delta
+                # cannot express that; fail like Iceberg's incremental
+                # scan does on overwrite snapshots
+                raise ValueError(
+                    f"incremental scan crosses rollback snapshot "
+                    f"{s['snapshot_id']!r}: rolled-back rows are not "
+                    "representable as an append delta — re-read the full "
+                    "table or consume from after the rollback"
                 )
         # staged snapshots are not yet logical content; publish commits a
         # NEW head manifest, so CDC consumers see the batch at publish
@@ -887,6 +951,70 @@ class SnapshotCatalog:
             expected_parent=base["snapshot_id"] if base else None,
         )
 
+    def rollback_to(self, snapshot_id: str) -> dict:
+        """Restore the table to an earlier snapshot's state (Iceberg's
+        ``rollback_to_snapshot``) as a METADATA-ONLY commit: a new head
+        manifest with ``operation='rollback'`` and NO data dir of its
+        own — the read path resolves it by jumping to the target and
+        reusing the target's immutable files, so rolling a 100 TB table
+        back is O(1) regardless of table size (a copy-on-write restore
+        would be the single most expensive job a pipeline can run, and
+        the bad-batch-undo story needs the cheap one). New appends stack
+        on TOP of the restored state; the undone snapshots remain
+        readable by id (time travel) until expire_snapshots reclaims
+        them.
+
+        Semantics downstream of a rollback:
+          * ``read()`` / time travel: state(rollback) == state(target);
+            later appends add to it.
+          * ``read_incremental`` REFUSES to cross a rollback (rows
+            disappeared — not representable as an append delta), the
+            same contract as merge snapshots.
+          * ``processed_inputs()``: input-file lineage of APPEND
+            snapshots rolled off the timeline no longer counts as
+            processed — the undone batch's inputs are re-ingestable,
+            which is the point of undoing a bad batch. Rewrite
+            (replace/merge) manifests keep their lineage even when
+            undone: after an expiry fold they carry history that
+            predates the rollback target and cannot be reconstructed —
+            keeping it avoids re-ingesting rows the restored state
+            still contains.
+          * ``expire_snapshots`` protects the restored read set (see
+            its anchor logic) — a rollback target never has its files
+            reclaimed out from under the current head.
+
+        No-op (returns the existing head, commits nothing) when the
+        latest visible snapshot already IS the target — the
+        delete_where zero-match convention. Raises KeyError for an
+        unknown id and ValueError for staged/abort targets (not logical
+        table state)."""
+        s = self._by_id(snapshot_id)
+        if s is None:
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        if s.get("operation") in ("staged", "abort"):
+            raise ValueError(
+                f"cannot roll back to {s['operation']!r} snapshot "
+                f"{snapshot_id!r} — not visible table state"
+            )
+        visible = [
+            o for o in self.snapshots()
+            if o.get("operation") not in ("staged", "abort")
+        ]
+        if visible and visible[-1]["snapshot_id"] == snapshot_id:
+            return visible[-1]
+        return self._commit_manifest({
+            "sequence": -1,  # assigned by the commit loop
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_id": None,
+            "committed_at": time.time(),
+            "operation": "rollback",
+            "data_dir": "",  # metadata-only: no data reference of its own
+            "input_files": [],
+            "metrics": {"rollback_to": snapshot_id},
+            "partition_by": s.get("partition_by", []),
+            "schema_json": s.get("schema_json"),
+        })
+
     def history(self, spark: SparkSession) -> DataFrame:
         """The table's commit history as a DataFrame — Iceberg's
         ``snapshots`` / ``history`` metadata tables: one row per snapshot
@@ -907,16 +1035,26 @@ class SnapshotCatalog:
         import pyarrow.parquet as pq
 
         rows, visible = [], 0
+        at: dict[str, int] = {}  # visible count as of each snapshot
         for s in self.snapshots():
             if s["operation"] in ("staged", "abort"):
                 continue  # staged: not visible until published;
                 # abort tombstones: zero logical content, dir deleted
+            if s["operation"] == "rollback":
+                # metadata-only: no dir to count — visible count is the
+                # target's (None if the target was expired: its row
+                # count is genuinely unknowable from surviving footers)
+                visible = at.get(s["metrics"]["rollback_to"])
+                rows.append((s["sequence"], s["operation"], visible))
+                at[s["snapshot_id"]] = visible
+                continue
             n = sum(
                 pq.read_metadata(f).num_rows
                 for f in pathlib.Path(self._data_dir(s)).rglob("*.parquet")
             )
-            visible = n if s["operation"] in ("replace", "merge") else visible + n
+            visible = n if s["operation"] in ("replace", "merge") else (visible or 0) + n
             rows.append((s["sequence"], s["operation"], visible))
+            at[s["snapshot_id"]] = visible
         return spark.createDataFrame(
             rows, "sequence bigint, operation string, n_rows bigint"
         )
@@ -1003,19 +1141,33 @@ class SnapshotCatalog:
         # needs the same read-set protection a tag does
         protected: set[str] = set()
         by_id = {s["snapshot_id"]: i for i, s in enumerate(snaps)}
+        # the current HEAD is an anchor too: normally its read set stops
+        # at the cut rewrite, but a rollback at/after the cut can point
+        # the head's state at PRE-cut manifests — expiring those would
+        # brick read() itself, not just time travel
+        visible = [
+            s for s in snaps
+            if s.get("operation") not in ("staged", "abort")
+        ]
         anchors = set(self.tags().values()) | {
             s["snapshot_id"] for s in snaps if s.get("operation") == "staged"
-        }
+        } | ({visible[-1]["snapshot_id"]} if visible else set())
         for sid in anchors:
             j = by_id.get(sid)
-            if j is None or j >= cut:
+            if j is None:
                 continue
-            start = 0
-            for i in range(j, -1, -1):
-                if snaps[i].get("operation") in self._REWRITE_OPS:
-                    start = i
-                    break
-            protected.update(s["snapshot_id"] for s in snaps[start : j + 1])
+            protected.add(sid)
+            try:
+                rs = self._resolve_read_set(
+                    snaps[: j + 1], audit_id=sid, traversed=protected
+                )
+                protected.update(x["snapshot_id"] for x in rs)
+            except ValueError:
+                # a rollback in this anchor's history points at an
+                # already-expired target: the true read set is
+                # undecidable — protect the anchor's whole prefix rather
+                # than guess and delete live data
+                protected.update(x["snapshot_id"] for x in snaps[: j + 1])
         # dir identity by BASENAME, same as remove_orphan_files: raw
         # path comparison breaks on a relocated/symlinked table (old
         # manifests carry absolute paths from the old mount), which
@@ -1037,12 +1189,22 @@ class SnapshotCatalog:
         # staged snapshots are EXCLUDED from the fold: they survive
         # expiry (protected above) and carry their own lineage — folding
         # them in would mark an aborted batch's inputs as processed
-        # forever, so a resumed ingest would silently never re-read them
+        # forever, so a resumed ingest would silently never re-read them.
+        # Appends rolled off the timeline are excluded for the same
+        # reason: processed_inputs() already treats their inputs as
+        # re-ingestable (the rollback undid those rows), and folding
+        # them into the surviving rewrite would resurrect them as
+        # processed the moment their manifests expire
+        on_timeline = self._timeline_ids(snaps)
         inherited = sorted(
             {
                 f
                 for s in snaps[: cut + 1]
                 if s.get("operation") != "staged"
+                and not (
+                    s.get("operation") == "append"
+                    and s["snapshot_id"] not in on_timeline
+                )
                 for f in s["input_files"]
             }
         )
@@ -1070,15 +1232,39 @@ class SnapshotCatalog:
             if name not in keep_dirs and d.exists():
                 shutil.rmtree(d)
                 removed += 1
+        # report protection the way the stat is consumed: the number of
+        # PRE-cut manifests that would have expired but were kept —
+        # post-cut read-set members (the head, fresh appends) were never
+        # expiry candidates, so counting them would inflate every call
         return {"expired": expired, "removed_dirs": removed,
-                "protected": len(protected)}
+                "protected": len(
+                    protected & {s["snapshot_id"] for s in snaps[:cut]}
+                )}
 
     # -------------------------------------------------------------- resume
 
     def processed_inputs(self) -> set[str]:
         """Union of input files consumed by every committed snapshot —
-        the resume checkpoint."""
+        the resume checkpoint.
+
+        Rollback interaction: an APPEND snapshot rolled off the current
+        timeline no longer contributes — its batch's rows are gone from
+        the table, so its inputs must be re-ingestable (undo a bad
+        batch, then re-run ingest with the corrected source). Rewrite
+        (replace/merge) manifests contribute even when undone: after an
+        expire_snapshots fold they carry lineage from history that
+        PRE-dates any rollback target (those rows are still in the
+        restored state), and dropping it would re-ingest duplicates.
+        Staged batches contribute regardless of timeline — a pending
+        audit must block a concurrent re-ingest of the same files."""
+        snaps = self.snapshots()
+        on = self._timeline_ids(snaps)
         out: set[str] = set()
-        for s in self.snapshots():
+        for s in snaps:
+            if (
+                s.get("operation") == "append"
+                and s["snapshot_id"] not in on
+            ):
+                continue
             out.update(s["input_files"])
         return out

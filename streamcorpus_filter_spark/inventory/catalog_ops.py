@@ -545,3 +545,58 @@ def sink_export_shards(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "sink_rollback",
+    """
+    SELECT doc_id, n_chars, lang FROM documents
+    """,
+)
+def sink_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot rollback (Iceberg's ``rollback_to_snapshot``) under the
+    value-hash check — the bad-batch-undo verb: a good batch commits,
+    a CORRUPTED batch commits on top (every n_chars poisoned to -1),
+    the operator rolls the table back to the good snapshot as a
+    METADATA-ONLY commit (asserted in-query: the rollback manifest
+    carries no data dir, so undoing the batch cost zero data movement —
+    at 100 TB that is the whole point; a copy-on-write restore would be
+    the most expensive job the pipeline can run), and the corrected
+    batch lands on the restored state. The final read must equal the
+    fixture exactly — value-hash proof that not one poisoned row
+    survived and not one good row was lost.
+
+    Also exercised in-query: time travel to the undone snapshot still
+    works (auditability of the bad batch until expiry), and the
+    incremental scan REFUSES to cross the rollback (rows disappeared —
+    not representable as an append delta; the consumer must re-read or
+    resume from after it), mirroring Iceberg's incremental-scan error
+    on overwrite snapshots."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_rollback_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+    good = cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    bad = cat.append(
+        docs.where(F.col("doc_id") % 2 == 1).withColumn(
+            "n_chars", F.lit(-1).cast("long")
+        )
+    )
+    rb = cat.rollback_to(good["snapshot_id"])
+    if rb["data_dir"] != "":  # survives python -O
+        raise AssertionError("rollback must be metadata-only (no data dir)")
+    n_bad = cat.read(spark, snapshot_id=bad["snapshot_id"]).where(
+        "n_chars = -1"
+    ).count()
+    if n_bad == 0:
+        raise AssertionError(
+            "time travel to the undone snapshot must still show the bad "
+            "batch until expiry"
+        )
+    try:
+        cat.read_incremental(spark, good["snapshot_id"]).count()
+        raise AssertionError(
+            "incremental scan must refuse to cross a rollback"
+        )
+    except ValueError:
+        pass
+    cat.append(docs.where(F.col("doc_id") % 2 == 1))  # corrected batch
+    return cat.read(spark)

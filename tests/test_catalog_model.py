@@ -1,8 +1,9 @@
 """Model-based property test for the snapshot catalog's mutation verbs.
 
 Hypothesis drives random sequences of append / delete_where / upsert /
-compact against a SnapshotCatalog while a plain Python dict plays the
-same sequence as the reference model. Invariants after every sequence:
+compact / write-audit-publish / rollback_to against a SnapshotCatalog
+while a plain Python dict plays the same sequence as the reference
+model (rollback restores the dict to the chosen checkpoint wholesale). Invariants after every sequence:
 
   * read() equals the model state exactly (ids AND values);
   * history()'s final visible-row-count equals the model size, and the
@@ -45,6 +46,7 @@ _OPS = st.lists(
         st.tuples(st.just("wap"), st.integers(3, 5), st.integers(1, 3),
                   st.booleans()),
         st.tuples(st.just("stage_only"), st.integers(6, 7)),
+        st.tuples(st.just("rollback"), st.integers(0, 9)),
     ),
     min_size=1,
     max_size=6,
@@ -115,6 +117,20 @@ def test_catalog_mutations_match_model(spark, ops):
             else:
                 cat.abort_staged(staged["snapshot_id"])
                 continue  # no visible commit, no trajectory entry
+        elif op[0] == "rollback":
+            # roll back to a random earlier VISIBLE checkpoint; the
+            # model restores that state wholesale (later appends /
+            # deletes / upserts are all undone at once)
+            target_id, target_state = checkpoints[op[1] % len(checkpoints)]
+            if target_id == checkpoints[-1][0]:
+                # rolling back to the current head's state is a
+                # metadata no-op: no commit, no trajectory entry
+                assert (
+                    cat.rollback_to(target_id)["snapshot_id"] == target_id
+                )
+                continue
+            cat.rollback_to(target_id)
+            model = dict(target_state)
         elif op[0] == "stage_only":
             start = op[1]
             cat.stage(spark.createDataFrame(

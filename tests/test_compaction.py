@@ -707,3 +707,149 @@ def test_tag_refuses_abort_tombstone(spark, tmp_path):
     (tomb,) = [s for s in c.snapshots() if s["operation"] == "abort"]
     with pytest.raises(ValueError, match="tombstone"):
         c.tag("v1", tomb["snapshot_id"])
+
+
+# ------------------------------------------------------------- rollback
+
+
+def _rng(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "doc_id")
+
+
+def test_rollback_is_metadata_only_and_restores_state(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 4))
+    c.append(_rng(spark, 4, 10))
+    dirs_before = sorted(p.name for p in (c.root / "data").iterdir())
+    rb = c.rollback_to(s0["snapshot_id"])
+    assert rb["operation"] == "rollback" and rb["data_dir"] == ""
+    # metadata-only: NO new data dir was written
+    assert sorted(p.name for p in (c.root / "data").iterdir()) == dirs_before
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2, 3]
+    # appends stack on the restored state
+    c.append(_rng(spark, 20, 22))
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2, 3, 20, 21]
+
+
+def test_rollback_time_travel_and_noop(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 2))
+    s1 = c.append(_rng(spark, 2, 5))
+    rb = c.rollback_to(s0["snapshot_id"])
+    # the undone snapshot stays readable by id until expiry
+    assert sorted(
+        r.doc_id for r in c.read(spark, snapshot_id=s1["snapshot_id"]).collect()
+    ) == [0, 1, 2, 3, 4]
+    # reading as-of the rollback manifest itself = the restored state
+    assert sorted(
+        r.doc_id for r in c.read(spark, snapshot_id=rb["snapshot_id"]).collect()
+    ) == [0, 1]
+    # rollback to the current head's state is a metadata no-op
+    again = c.rollback_to(rb["snapshot_id"])
+    assert again["snapshot_id"] == rb["snapshot_id"]
+    assert c.latest_snapshot()["snapshot_id"] == rb["snapshot_id"]
+
+
+def test_rollback_refuses_staged_abort_and_unknown(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 2))
+    st = c.stage(_rng(spark, 2, 4))
+    with pytest.raises(ValueError, match="staged"):
+        c.rollback_to(st["snapshot_id"])
+    c.abort_staged(st["snapshot_id"])
+    with pytest.raises(KeyError):
+        c.rollback_to("no_such_snapshot")
+
+
+def test_rollback_incremental_scan_refuses_to_cross(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 2))
+    c.append(_rng(spark, 2, 4))
+    c.rollback_to(s0["snapshot_id"])
+    with pytest.raises(ValueError, match="rollback"):
+        c.read_incremental(spark, s0["snapshot_id"])
+    # consuming from AFTER the rollback works
+    rb_id = c.latest_snapshot()["snapshot_id"]
+    c.append(_rng(spark, 9, 11))
+    got = sorted(r.doc_id for r in c.read_incremental(spark, rb_id).collect())
+    assert got == [9, 10]
+
+
+def test_rollback_releases_undone_append_lineage(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 2), input_files=["in/a"])
+    c.append(_rng(spark, 2, 4), input_files=["in/b"])
+    assert c.processed_inputs() == {"in/a", "in/b"}
+    c.rollback_to(s0["snapshot_id"])
+    # the undone batch's inputs are re-ingestable again...
+    assert c.processed_inputs() == {"in/a"}
+    # ...and STAY unprocessed through compact + expiry (the fold must
+    # not resurrect them via the surviving rewrite manifest)
+    c.compact(spark)
+    c.expire_snapshots()
+    assert c.processed_inputs() == {"in/a"}
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1]
+
+
+def test_rollback_read_set_survives_expiry_after_later_rewrite(spark, tmp_path):
+    """Head = rollback past a compaction to a PRE-cut snapshot: expiry
+    must protect the head's effective read set (and the rollback
+    redirect itself) even though both sit before the rewrite cut."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 3))
+    c.append(_rng(spark, 3, 6))
+    c.compact(spark, target_files=1)  # the cut
+    c.rollback_to(s0["snapshot_id"])  # head state reaches PRE-cut
+    stats = c.expire_snapshots()
+    # s0 is protected; the un-rolled-back middle append may expire
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2]
+    assert stats["protected"] >= 1
+    # and stacking still works afterwards
+    c.append(_rng(spark, 30, 31))
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2, 30]
+
+
+def test_rollback_then_compact_then_expire_erases_undone_batch(spark, tmp_path):
+    """Physical erasure of a bad batch = rollback + compact + expire
+    (the delete_where two-step, but for whole commits)."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 2))
+    bad = c.append(_rng(spark, 2, 4))
+    c.rollback_to(s0["snapshot_id"])
+    c.compact(spark, target_files=1)
+    c.expire_snapshots()
+    # the bad batch's manifest AND bytes are gone
+    assert bad["snapshot_id"] not in {
+        s["snapshot_id"] for s in c.snapshots()
+    }
+    assert not pathlib.Path(bad["data_dir"]).exists()
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1]
+
+
+def test_rollback_history_row_reports_restored_count(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 3))
+    c.append(_rng(spark, 3, 10))
+    c.rollback_to(s0["snapshot_id"])
+    c.append(_rng(spark, 10, 12))
+    rows = [(r.operation, r.n_rows) for r in c.history(spark).collect()]
+    assert rows == [
+        ("append", 3), ("append", 10), ("rollback", 3), ("append", 5)
+    ]
+
+
+def test_tag_on_undone_segment_protects_it(spark, tmp_path):
+    """A tag pinned to a snapshot that is later rolled off the timeline
+    still protects its read set through expiry — releases outlive
+    rollbacks."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 2))
+    c.append(_rng(spark, 2, 5))
+    c.tag("release")  # pins the 5-row state
+    c.rollback_to(s0["snapshot_id"])
+    c.compact(spark, target_files=1)
+    c.expire_snapshots()
+    assert sorted(r.doc_id for r in c.read(spark, tag="release").collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1]
