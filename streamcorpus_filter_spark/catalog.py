@@ -253,6 +253,10 @@ class SnapshotCatalog:
     # operations whose data dir holds the ENTIRE table state at commit,
     # superseding every older snapshot on the read path
     _REWRITE_OPS = ("replace", "merge")
+    # manifests that are NOT main-table logical content: staged batches
+    # await their audit, abort tombstones record a decision, branch
+    # commits live on a named ref until fast-forwarded
+    _NON_MAIN_OPS = ("staged", "abort", "branch")
 
     def _resolve_read_set(
         self,
@@ -276,9 +280,12 @@ class SnapshotCatalog:
         while i >= 0:
             s = chain[i]
             op = s.get("operation")
-            if op == "abort" or (
+            if op in ("abort", "branch") or (
                 op == "staged" and s["snapshot_id"] != audit_id
             ):
+                # branch commits live on their named ref — main reads
+                # walk past them (read(branch=...) / by-id branch reads
+                # use the pointer-chase resolver instead)
                 i -= 1
                 continue
             if op == "rollback":
@@ -662,7 +669,7 @@ class SnapshotCatalog:
             # and dangle when publish/abort unlinks the staged manifest
             visible = [
                 s for s in self.snapshots()
-                if s.get("operation") not in ("staged", "abort")
+                if s.get("operation") not in self._NON_MAIN_OPS
             ]
             if not visible:
                 raise ValueError("cannot tag a catalog with no visible snapshots")
@@ -682,6 +689,14 @@ class SnapshotCatalog:
                 # make expiry protect a read set nobody can mean
                 raise ValueError(
                     f"cannot tag abort tombstone {snapshot_id!r}"
+                )
+            if s.get("operation") == "branch":
+                # tags are MAIN refs; a release anchored to a mutable
+                # experiment ref would vanish when the branch is dropped
+                # or folded — tag the fast-forwarded main commit instead
+                raise ValueError(
+                    f"cannot tag branch commit {snapshot_id!r} — "
+                    "fast-forward the branch and tag the main commit"
                 )
         tags_dir = self.root / "tags"
         tags_dir.mkdir(exist_ok=True)
@@ -729,21 +744,303 @@ class SnapshotCatalog:
             raise KeyError(f"unknown tag {name!r}")
         p.unlink()
 
+    # ---------------------------------------------------------- branches
+
+    def create_branch(
+        self, name: str, snapshot_id: str | None = None
+    ) -> dict:
+        """Create a named branch (Iceberg branches — the mutable ref
+        next to tags' immutable ones): subsequent ``branch_append``
+        commits land on the ref, invisible to main reads/history/CDC,
+        until ``fast_forward`` folds them into main or ``drop_branch``
+        discards them. The experimentation workflow WAP generalizes to:
+        N commits audited TOGETHER as one branch state instead of one
+        staged batch at a time.
+
+        The branch is born as a zero-content marker manifest
+        (operation='branch', no data dir) recording the FORK point — the
+        main snapshot the branch state builds on (default: latest
+        visible). The marker commits through the same sequence-claim
+        protocol as every manifest, so racing creators of one name get a
+        clean 'already exists'."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        snaps = self.snapshots()
+        if self._branch_head(name, snaps) is not None:
+            raise ValueError(f"branch {name!r} already exists")
+        if snapshot_id is None:
+            visible = [
+                s for s in snaps
+                if s.get("operation") not in self._NON_MAIN_OPS
+            ]
+            if not visible:
+                raise ValueError(
+                    "cannot branch a catalog with no visible snapshots"
+                )
+            fork = visible[-1]
+        else:
+            fork = self._by_id(snapshot_id)
+            if fork is None:
+                raise KeyError(f"unknown snapshot {snapshot_id!r}")
+            if fork.get("operation") in self._NON_MAIN_OPS:
+                raise ValueError(
+                    f"cannot branch from {fork['operation']!r} snapshot "
+                    f"{snapshot_id!r} — fork from main-table state"
+                )
+        return self._commit_manifest({
+            "sequence": -1,
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_id": None,
+            "committed_at": time.time(),
+            "operation": "branch",
+            "data_dir": "",  # marker: the fork point is the content
+            "input_files": [],
+            "metrics": {"branch": name,
+                        "branch_base": fork["snapshot_id"]},
+            "partition_by": fork.get("partition_by", []),
+            "schema_json": fork.get("schema_json"),
+        })
+
+    def branch_append(
+        self,
+        df: DataFrame,
+        branch: str,
+        *,
+        input_files: list[str] | None = None,
+        metrics: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Append a batch to a branch: a normal data write whose
+        manifest is chained to the branch head via ``branch_base``
+        (pointer parentage, not sequence adjacency — main and other
+        branches keep committing interleaved sequences). Invisible to
+        every main read path until fast_forward."""
+        head = self._branch_head(branch)
+        if head is None:
+            raise KeyError(f"unknown branch {branch!r}")
+        return self.append(
+            df,
+            input_files=input_files,
+            metrics={**(metrics or {}), "branch": branch,
+                     "branch_base": head["snapshot_id"]},
+            partition_by=partition_by,
+            operation="branch",
+        )
+
+    def branches(self) -> dict[str, str]:
+        """Live branches as {name: head snapshot_id}."""
+        out: dict[str, str] = {}
+        for s in self.snapshots():  # sequence order: later heads win
+            if s.get("operation") == "branch":
+                out[s["metrics"]["branch"]] = s["snapshot_id"]
+        return out
+
+    def _branch_head(
+        self, name: str, snaps: list[dict] | None = None
+    ) -> dict | None:
+        head = None
+        for s in (snaps if snaps is not None else self.snapshots()):
+            if (
+                s.get("operation") == "branch"
+                and s["metrics"].get("branch") == name
+            ):
+                head = s
+        return head
+
+    def _branch_chain(
+        self, head: dict, snaps: list[dict]
+    ) -> tuple[list[dict], dict | None]:
+        """Follow ``branch_base`` pointers from ``head`` down to the
+        fork: returns (branch manifests oldest-first incl. the create
+        marker, the fork manifest on main — None only if the fork was
+        expired, which protection prevents for live branches)."""
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        chain: list[dict] = []
+        cur: dict | None = head
+        while cur is not None and cur.get("operation") == "branch":
+            chain.append(cur)
+            base = cur["metrics"].get("branch_base")
+            cur = by_id.get(base) if base else None
+        return chain[::-1], cur
+
+    def _resolve_branch(
+        self,
+        head: dict,
+        snaps: list[dict],
+        traversed: set[str] | None = None,
+    ) -> list[dict]:
+        """Read set of a branch view: the fork point's main read set
+        (normal resolver, so rollbacks/rewrites before the fork behave
+        exactly as on main) plus the branch's data commits on top."""
+        chain, fork = self._branch_chain(head, snaps)
+        if fork is None:
+            raise ValueError(
+                f"branch {head['metrics'].get('branch')!r}: fork snapshot "
+                f"{chain[0]['metrics'].get('branch_base')!r} is gone — "
+                "expired from under the branch"
+            )
+        idx = next(
+            i for i, s in enumerate(snaps)
+            if s["snapshot_id"] == fork["snapshot_id"]
+        )
+        main = self._resolve_read_set(
+            snaps[: idx + 1],
+            audit_id=fork["snapshot_id"],
+            traversed=traversed,
+        )
+        return main + [b for b in chain if b.get("data_dir")]
+
+    def fast_forward(self, branch: str) -> list[dict]:
+        """Fold a branch's commits into main (Iceberg's
+        ``fast_forward``): each branch data commit lands on main as an
+        append manifest referencing the SAME data dir (zero copy),
+        carrying the branch commit's lineage and metrics plus
+        ``fast_forwarded_from`` provenance; the branch manifests are
+        then removed. Refuses if main moved past the branch's fork point
+        (the ref is not an ancestor — Iceberg's fast-forward precondition;
+        rebase by re-branching from the new head instead).
+
+        Idempotent across crashes, publish-style: each batch is skipped
+        if a main manifest with its ``fast_forwarded_from`` already
+        exists (duplicates collapse to the earliest), so a retry after a
+        crash mid-fold FINISHES the fold instead of doubling batches.
+        Like expire_snapshots, the fold itself is a single-driver
+        maintenance verb: two simultaneous fast_forwards of one branch
+        converge (same idempotence), but don't race it with drop_branch
+        of the same ref."""
+        snaps = self.snapshots()
+        head = self._branch_head(branch, snaps)
+        if head is None:
+            raise KeyError(f"unknown branch {branch!r}")
+        chain, fork = self._branch_chain(head, snaps)
+        if fork is None:
+            raise ValueError(
+                f"branch {branch!r}: fork snapshot is gone — cannot fold"
+            )
+        batches = [b for b in chain if b.get("data_dir")]
+        done = {
+            s.get("metrics", {}).get("fast_forwarded_from")
+            for s in snaps
+        }
+        # divergence check: main's visible head must be the fork point
+        # itself, or (crash-resume case) the fast-forward of one of THIS
+        # branch's batches
+        visible = [
+            s for s in snaps
+            if s.get("operation") not in self._NON_MAIN_OPS
+        ]
+        main_head = visible[-1] if visible else None
+        allowed = {fork["snapshot_id"]} | {
+            s["snapshot_id"] for s in snaps
+            if s.get("metrics", {}).get("fast_forwarded_from")
+            in {b["snapshot_id"] for b in batches}
+        }
+        if main_head is not None and main_head["snapshot_id"] not in allowed:
+            raise ValueError(
+                f"fast-forward refused: main moved past branch "
+                f"{branch!r}'s fork point — re-branch from the new head "
+                "and replay"
+            )
+        out: list[dict] = []
+        for b in batches:
+            if b["snapshot_id"] in done:
+                out.append(self._collapse_dupes([
+                    s for s in self.snapshots()
+                    if s.get("metrics", {}).get("fast_forwarded_from")
+                    == b["snapshot_id"]
+                ]))
+                continue
+            m = dict(b["metrics"])
+            m.pop("branch", None)
+            m.pop("branch_base", None)
+            m["fast_forwarded_from"] = b["snapshot_id"]
+            out.append(self._commit_manifest({
+                "sequence": -1,
+                "snapshot_id": uuid.uuid4().hex[:16],
+                "parent_id": None,
+                "committed_at": time.time(),
+                "operation": "append",
+                "data_dir": b["data_dir"],
+                "input_files": b["input_files"],
+                "metrics": m,
+                "partition_by": b.get("partition_by", []),
+                "schema_json": b.get("schema_json"),
+            }))
+        # branch manifests go AFTER the fold commits (a crash in between
+        # leaves both — safe: branch manifests are invisible to main and
+        # the batches' dirs are referenced by the new main manifests)
+        for b in chain:
+            (self.root / "snapshots" / f"{b['sequence']:08d}.json").unlink(
+                missing_ok=True
+            )
+        return out
+
+    def drop_branch(self, branch: str) -> None:
+        """Discard a branch wholesale: unlink its manifests and reclaim
+        any data dir no surviving manifest references (basename
+        identity, like abort_staged). The branch's input-file lineage is
+        released with it — a dropped experiment's inputs are
+        re-ingestable."""
+        import shutil
+
+        snaps = self.snapshots()
+        mine = [
+            s for s in snaps
+            if s.get("operation") == "branch"
+            and s["metrics"].get("branch") == branch
+        ]
+        if not mine:
+            raise KeyError(f"unknown branch {branch!r}")
+        for b in mine:
+            (self.root / "snapshots" / f"{b['sequence']:08d}.json").unlink(
+                missing_ok=True
+            )
+        survivors = self.snapshots()
+        kept = {
+            pathlib.Path(s["data_dir"]).name
+            for s in survivors
+            if s.get("data_dir")
+        }
+        for b in mine:
+            name = pathlib.Path(b["data_dir"]).name
+            if name and name not in kept:
+                shutil.rmtree(self.root / "data" / name, ignore_errors=True)
+
     def read(
         self,
         spark: SparkSession,
         snapshot_id: str | None = None,
         *,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
-        """Table state as of ``snapshot_id`` / ``tag`` (default: latest)."""
+        """Table state as of ``snapshot_id`` / ``tag`` / ``branch``
+        (default: latest main)."""
+        if sum(x is not None for x in (snapshot_id, tag, branch)) > 1:
+            raise ValueError("pass at most one of snapshot_id/tag/branch")
+        if branch is not None:
+            head = self._branch_head(branch)
+            if head is None:
+                raise KeyError(f"unknown branch {branch!r}")
+            snapshot_id = head["snapshot_id"]
         if tag is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or tag, not both")
             try:
                 snapshot_id = self.tags()[tag]
             except KeyError:
                 raise KeyError(f"unknown tag {tag!r}") from None
+        if snapshot_id is not None:
+            t = self._by_id(snapshot_id)
+            if t is not None and t.get("operation") == "branch":
+                # branch view (head or any commit on the ref): branch
+                # commits chained by branch_base on top of the fork
+                # point's main state
+                snaps = self._resolve_branch(t, self.snapshots())
+                if not snaps:  # unreachable: branches fork from a
+                    # visible snapshot, whose read set is non-empty
+                    raise ValueError(f"branch ref {snapshot_id!r} empty")
+                return self._read_snapshots(spark, snaps)
         chain = self._chain(snapshot_id)
         if not chain:
             raise ValueError(f"catalog {self.root} has no snapshots")
@@ -833,7 +1130,7 @@ class SnapshotCatalog:
         # time with a fresh sequence — never retroactively
         new = [
             s for s in tail
-            if s.get("operation") not in ("replace", "staged", "abort")
+            if s.get("operation") not in ("replace",) + self._NON_MAIN_OPS
         ]
         if not new:
             return self.read(spark).limit(0)
@@ -940,7 +1237,7 @@ class SnapshotCatalog:
             # snapshots.
             return [
                 s for s in self.snapshots()
-                if s.get("operation") not in ("staged", "abort")
+                if s.get("operation") not in self._NON_MAIN_OPS
             ][-1]
         kept = current.where(f"NOT coalesce(({predicate}), false)")
         return self.append(
@@ -991,14 +1288,14 @@ class SnapshotCatalog:
         s = self._by_id(snapshot_id)
         if s is None:
             raise KeyError(f"unknown snapshot {snapshot_id!r}")
-        if s.get("operation") in ("staged", "abort"):
+        if s.get("operation") in self._NON_MAIN_OPS:
             raise ValueError(
                 f"cannot roll back to {s['operation']!r} snapshot "
-                f"{snapshot_id!r} — not visible table state"
+                f"{snapshot_id!r} — not main-table state"
             )
         visible = [
             o for o in self.snapshots()
-            if o.get("operation") not in ("staged", "abort")
+            if o.get("operation") not in self._NON_MAIN_OPS
         ]
         if visible and visible[-1]["snapshot_id"] == snapshot_id:
             return visible[-1]
@@ -1037,9 +1334,10 @@ class SnapshotCatalog:
         rows, visible = [], 0
         at: dict[str, int] = {}  # visible count as of each snapshot
         for s in self.snapshots():
-            if s["operation"] in ("staged", "abort"):
+            if s["operation"] in self._NON_MAIN_OPS:
                 continue  # staged: not visible until published;
-                # abort tombstones: zero logical content, dir deleted
+                # abort tombstones: zero logical content, dir deleted;
+                # branch commits: on a named ref, not main history
             if s["operation"] == "rollback":
                 # metadata-only: no dir to count — visible count is the
                 # target's (None if the target was expired: its row
@@ -1147,26 +1445,42 @@ class SnapshotCatalog:
         # brick read() itself, not just time travel
         visible = [
             s for s in snaps
-            if s.get("operation") not in ("staged", "abort")
+            if s.get("operation") not in self._NON_MAIN_OPS
         ]
         anchors = set(self.tags().values()) | {
             s["snapshot_id"] for s in snaps if s.get("operation") == "staged"
-        } | ({visible[-1]["snapshot_id"]} if visible else set())
+        } | ({visible[-1]["snapshot_id"]} if visible else set()) | set(
+            # live branch heads: a branch's whole state (its own commits
+            # AND the fork point's main read set) must outlive expiry —
+            # reclaiming the fork from under a ref would brick
+            # read(branch=...)
+            self.branches().values()
+        )
         for sid in anchors:
             j = by_id.get(sid)
             if j is None:
                 continue
             protected.add(sid)
             try:
-                rs = self._resolve_read_set(
-                    snaps[: j + 1], audit_id=sid, traversed=protected
-                )
+                anchor = snaps[j]
+                if anchor.get("operation") == "branch":
+                    chain, fork = self._branch_chain(anchor, snaps)
+                    if fork is None:
+                        raise ValueError("fork expired")
+                    protected.update(b["snapshot_id"] for b in chain)
+                    rs = self._resolve_branch(
+                        anchor, snaps, traversed=protected
+                    )
+                else:
+                    rs = self._resolve_read_set(
+                        snaps[: j + 1], audit_id=sid, traversed=protected
+                    )
                 protected.update(x["snapshot_id"] for x in rs)
             except ValueError:
-                # a rollback in this anchor's history points at an
-                # already-expired target: the true read set is
-                # undecidable — protect the anchor's whole prefix rather
-                # than guess and delete live data
+                # a rollback (or branch fork) in this anchor's history
+                # points at an already-expired target: the true read set
+                # is undecidable — protect the anchor's whole prefix
+                # rather than guess and delete live data
                 protected.update(x["snapshot_id"] for x in snaps[: j + 1])
         # dir identity by BASENAME, same as remove_orphan_files: raw
         # path comparison breaks on a relocated/symlinked table (old
@@ -1199,8 +1513,12 @@ class SnapshotCatalog:
         inherited = sorted(
             {
                 f
+                # branch commits are excluded like staged: they survive
+                # expiry (protected above) carrying their own lineage,
+                # and folding them would pin a later-DROPPED branch's
+                # inputs as processed forever
                 for s in snaps[: cut + 1]
-                if s.get("operation") != "staged"
+                if s.get("operation") not in ("staged", "branch")
                 and not (
                     s.get("operation") == "append"
                     and s["snapshot_id"] not in on_timeline

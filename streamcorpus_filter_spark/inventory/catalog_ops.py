@@ -600,3 +600,48 @@ def sink_rollback(spark: SparkSession, sf: str) -> DataFrame:
         pass
     cat.append(docs.where(F.col("doc_id") % 2 == 1))  # corrected batch
     return cat.read(spark)
+
+
+@register(
+    "sink_branch_ff",
+    """
+    SELECT doc_id, n_chars, lang FROM documents
+    """,
+)
+def sink_branch_ff(spark: SparkSession, sf: str) -> DataFrame:
+    """Branch + fast-forward (Iceberg branches) under the value-hash
+    check — WAP generalized from one staged batch to a whole line of
+    work: main holds the even docs, an 'ingest' branch accumulates the
+    odd docs across TWO commits (audited together as one branch state),
+    main stays byte-identical throughout (asserted in-query: main read
+    AND the CDC scan are blind to the ref), then fast_forward folds the
+    branch into main as zero-copy appends (same data dirs, lineage and
+    provenance carried). The final read must equal the fixture exactly.
+
+    Scale shape: branch commits are ordinary partitioned parquet writes
+    plus O(1) manifest pointers; fast-forward moves ZERO data (per-batch
+    manifest re-commit referencing the same immutable dirs) — the
+    experiment-then-promote workflow costs metadata, not a table
+    rewrite."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_branch_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+    seed = cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    cat.create_branch("ingest")
+    cat.branch_append(docs.where("doc_id % 2 = 1 AND doc_id % 4 = 1"),
+                      "ingest")
+    cat.branch_append(docs.where("doc_id % 2 = 1 AND doc_id % 4 = 3"),
+                      "ingest")
+    n_main = cat.read(spark).count()
+    n_seed = docs.where("doc_id % 2 = 0").count()
+    if n_main != n_seed:  # survives python -O
+        raise AssertionError(
+            "branch commits leaked into the main read before fast-forward"
+        )
+    if cat.read_incremental(spark, seed["snapshot_id"]).count() != 0:
+        raise AssertionError(
+            "CDC scan must be blind to branch commits before fast-forward"
+        )
+    ff = cat.fast_forward("ingest")
+    if any(m["operation"] != "append" for m in ff):
+        raise AssertionError("fast-forward must land as main appends")
+    return cat.read(spark)

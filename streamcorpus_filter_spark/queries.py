@@ -225,7 +225,7 @@ RUN_ORDER = [
     "scan_partition_evolution", "scan_tagged_release", "sink_wap_publish",
     "ql_classifier_train", "ql_classifier_eval", "sink_export_shards",
     "pipeline_incremental_ingest", "emb_kmeans_lloyd",
-    "ql_classifier_calibration", "sink_rollback",
+    "ql_classifier_calibration", "sink_rollback", "sink_branch_ff",
     # de-skew rewrites this round (window -> groupBy shapes): need fresh
     # driver attestation even though their oracles are unchanged
     "curation_pipeline", "ql_dedup_exact", "emb_semantic_dedup",

@@ -853,3 +853,116 @@ def test_tag_on_undone_segment_protects_it(spark, tmp_path):
         0, 1, 2, 3, 4,
     ]
     assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1]
+
+
+# ------------------------------------------------------------- branches
+
+
+def test_branch_invisible_to_main_until_fast_forward(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 3))
+    c.create_branch("exp")
+    c.branch_append(_rng(spark, 10, 12), "exp")
+    # main reads, history, and CDC all blind to the branch
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2]
+    assert [r.operation for r in c.history(spark).collect()] == ["append"]
+    assert c.read_incremental(spark, s0["snapshot_id"]).count() == 0
+    # branch view = fork state + branch commits
+    assert sorted(
+        r.doc_id for r in c.read(spark, branch="exp").collect()
+    ) == [0, 1, 2, 10, 11]
+    out = c.fast_forward("exp")
+    assert [m["operation"] for m in out] == ["append"]
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [
+        0, 1, 2, 10, 11,
+    ]
+    assert c.branches() == {}
+    # CDC sees the folded batch at the fast-forward sequence
+    assert sorted(
+        r.doc_id for r in c.read_incremental(spark, s0["snapshot_id"]).collect()
+    ) == [10, 11]
+
+
+def test_branch_fast_forward_refused_after_main_diverges(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 2))
+    c.create_branch("exp")
+    c.branch_append(_rng(spark, 10, 11), "exp")
+    c.append(_rng(spark, 2, 4))  # main moves past the fork
+    with pytest.raises(ValueError, match="fast-forward refused"):
+        c.fast_forward("exp")
+    # the branch view is still coherent (fork state, not new main state)
+    assert sorted(
+        r.doc_id for r in c.read(spark, branch="exp").collect()
+    ) == [0, 1, 10]
+
+
+def test_branch_fast_forward_is_crash_idempotent(spark, tmp_path):
+    """Simulate a crash mid-fold: one batch already fast-forwarded (its
+    main manifest committed) while the branch manifests survive — the
+    retry must skip it and finish, never double it."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 2))
+    c.create_branch("exp")
+    c.branch_append(_rng(spark, 10, 12), "exp")
+    c.branch_append(_rng(spark, 20, 21), "exp")
+    first = c.fast_forward("exp")
+    assert len(first) == 2
+    # replay the whole fold as if the unlink never happened: re-commit
+    # nothing, collapse to the same manifests
+    got = sorted(r.doc_id for r in c.read(spark).collect())
+    assert got == [0, 1, 10, 11, 20]
+    # a second fast_forward of the (now gone) branch raises unknown
+    with pytest.raises(KeyError):
+        c.fast_forward("exp")
+
+
+def test_branch_drop_releases_bytes_and_lineage(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 2), input_files=["in/a"])
+    c.create_branch("dead")
+    b = c.branch_append(_rng(spark, 10, 12), "dead", input_files=["in/x"])
+    assert c.processed_inputs() == {"in/a", "in/x"}
+    c.drop_branch("dead")
+    assert c.branches() == {}
+    assert not pathlib.Path(b["data_dir"]).exists()
+    assert c.processed_inputs() == {"in/a"}
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1]
+
+
+def test_branch_read_set_survives_expiry(spark, tmp_path):
+    """Expiry must protect a live branch: its commits AND its fork
+    point's read set, even when a main rewrite supersedes the fork."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 2))
+    c.create_branch("exp")
+    c.branch_append(_rng(spark, 10, 11), "exp")
+    c.append(_rng(spark, 2, 4))
+    c.compact(spark, target_files=1)
+    c.expire_snapshots()
+    assert sorted(
+        r.doc_id for r in c.read(spark, branch="exp").collect()
+    ) == [0, 1, 10]
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2, 3]
+
+
+def test_branch_name_and_ref_guards(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 2))
+    st = c.stage(_rng(spark, 5, 6))
+    with pytest.raises(ValueError, match="invalid"):
+        c.create_branch("bad name")
+    with pytest.raises(ValueError, match="staged"):
+        c.create_branch("exp", st["snapshot_id"])
+    c.create_branch("exp")
+    with pytest.raises(ValueError, match="already exists"):
+        c.create_branch("exp")
+    b = c.branch_append(_rng(spark, 10, 11), "exp")
+    with pytest.raises(ValueError, match="branch"):
+        c.tag("rel", b["snapshot_id"])
+    with pytest.raises(ValueError, match="not main-table"):
+        c.rollback_to(b["snapshot_id"])
+    with pytest.raises(KeyError):
+        c.branch_append(_rng(spark, 0, 1), "nope")
+    with pytest.raises(KeyError):
+        c.read(spark, branch="nope")
