@@ -1,9 +1,11 @@
 """Model-based property test for the snapshot catalog's mutation verbs.
 
 Hypothesis drives random sequences of append / delete_where / upsert /
-compact / write-audit-publish / rollback_to against a SnapshotCatalog
-while a plain Python dict plays the same sequence as the reference
-model (rollback restores the dict to the chosen checkpoint wholesale). Invariants after every sequence:
+compact / write-audit-publish / rollback_to / branch+fast-forward+drop
+against a SnapshotCatalog while a plain Python dict plays the same
+sequence as the reference model (rollback restores the dict to the
+chosen checkpoint wholesale; branch commits touch the model only when
+fast-forwarded, and pending branches ride through every later verb). Invariants after every sequence:
 
   * read() equals the model state exactly (ids AND values);
   * history()'s final visible-row-count equals the model size, and the
@@ -47,6 +49,9 @@ _OPS = st.lists(
                   st.booleans()),
         st.tuples(st.just("stage_only"), st.integers(6, 7)),
         st.tuples(st.just("rollback"), st.integers(0, 9)),
+        st.tuples(st.just("branch_work"), st.integers(0, 2),
+                  st.integers(1, 3),
+                  st.sampled_from(["ff", "drop", "leave"])),
     ),
     min_size=1,
     max_size=6,
@@ -131,6 +136,31 @@ def test_catalog_mutations_match_model(spark, ops):
                 continue
             cat.rollback_to(target_id)
             model = dict(target_state)
+        elif op[0] == "branch_work":
+            _, start, n, action = op
+            batch = {start * 100000 + j + 10: version for j in range(n)}
+            batch = {k: v for k, v in batch.items() if k not in model}
+            if not batch:
+                continue
+            name = f"br{version}"
+            cat.create_branch(name)
+            cat.branch_append(spark.createDataFrame(
+                sorted(batch.items()), "doc_id bigint, v bigint"), name)
+            # branch commits are invisible to the main read
+            assert {r.doc_id: r.v
+                    for r in cat.read(spark).collect()} == model
+            # ...and visible on the branch view
+            assert {r.doc_id: r.v
+                    for r in cat.read(spark, branch=name).collect()} \
+                == {**model, **batch}
+            if action == "ff":
+                cat.fast_forward(name)
+                model.update(batch)
+            elif action == "drop":
+                cat.drop_branch(name)
+                continue  # no visible commit
+            else:
+                continue  # pending branch rides through later verbs
         elif op[0] == "stage_only":
             start = op[1]
             cat.stage(spark.createDataFrame(
