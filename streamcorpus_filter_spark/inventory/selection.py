@@ -47,7 +47,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..queries import load, register
 from ._text import _WS, _fnv1a, _toks, md5_bucket_sql
@@ -418,14 +418,11 @@ def _km_dist(q: str, c: str) -> str:
     )
 
 
-def _km_oracle() -> str:
-    """Chained-CTE Lloyd recomputation: init c0 = quantized vectors of
-    the KM_K smallest vec_ids, then KM_ITERS rounds of
-    (argmin assignment -> truncating-integer-mean update), then a final
-    assignment. Ties break on the smallest centroid id (ORDER BY dist,
-    k), empty clusters simply drop out of the GROUP BY — both exactly
-    what the Spark side's numpy argmin over k-sorted centroids and
-    groupBy update produce."""
+def _km_ctes() -> str:
+    """The WITH-body of the Lloyd recomputation, reusable by every
+    oracle that builds on the clustering (emb_kmeans_lloyd itself,
+    emb_cluster_balanced_sample): ends with CTE ``r`` holding
+    (vec_id, k, dist, rn) where rn=1 is the final assignment."""
     dist = _km_dist("q.qe", "c.ce")
     parts = [
         f"q AS (SELECT vec_id, {_QUANT_DUCK} AS qe FROM embeddings)",
@@ -457,8 +454,16 @@ def _km_oracle() -> str:
         "r AS (SELECT vec_id, k, dist, row_number() OVER"
         " (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM fin)"
     )
+    return ",\n".join(parts)
+
+
+def _km_oracle() -> str:
+    """Full Lloyd recomputation (see _km_ctes): ties break on the
+    smallest centroid id (ORDER BY dist, k), empty clusters simply drop
+    out of the GROUP BY — both exactly what the Spark side's numpy
+    argmin over k-sorted centroids and groupBy update produce."""
     return (
-        "WITH " + ",\n".join(parts)
+        "WITH " + _km_ctes()
         + "\nSELECT vec_id, CAST(k AS BIGINT) AS cluster,"
         " CAST(dist AS BIGINT) AS dist_sq FROM r WHERE rn = 1"
     )
@@ -565,3 +570,73 @@ def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     return q.mapInPandas(assign, "vec_id long, cluster long, dist_sq long")
+
+
+# ------------------------------------------- cluster-balanced sampling
+
+KM_SAMPLE_M = 32  # per-cluster quota
+KM_SAMPLE_SALTS = 8
+
+
+@register(
+    "emb_cluster_balanced_sample",
+    f"""
+    WITH {_km_ctes()},
+    asg AS (SELECT vec_id, k AS cluster FROM r WHERE rn = 1)
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS pick_rank
+      FROM asg
+    ) WHERE pick_rank <= {KM_SAMPLE_M}
+    """,
+)
+def emb_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced selection: after emb_kmeans_lloyd assigns every
+    vector a topic cluster, keep a fixed quota of KM_SAMPLE_M per
+    cluster, ranked by md5(vec_id) — the deterministic, seedless,
+    resume-stable stand-in for random sampling (the ql_hash_split
+    convention). This is the step that stops a corpus's dominant topic
+    from dominating the training mix (cluster-balanced sampling per
+    DoReMi/SemDeDup-style pipelines): the head topic contributes the
+    same quota as the tail.
+
+    Scale shape: cluster cardinality is TINY (K clusters) while cluster
+    sizes are corpus-sized and skewed — precisely the shape where
+    `row_number() OVER (PARTITION BY cluster)` funnels the megacluster
+    through one reducer. So the quota is taken in two salted stages
+    (the ql_host_cap pattern, plan-guarded): stage 1 ranks within
+    (cluster, salt = vec_id % {KM_SAMPLE_SALTS}) — external sorts of
+    1/{KM_SAMPLE_SALTS} slices — and keeps M per salted group; stage 2
+    re-ranks the <= {KM_SAMPLE_SALTS}xM survivors per cluster, a
+    BOUNDED group no matter how big the corpus. Same rows as the single
+    window (any global top-M row is in its salt group's top-M), which
+    is what the single-window oracle checks."""
+    a = emb_kmeans_lloyd(spark, sf).select("vec_id", "cluster")
+    skey = F.md5(F.col("vec_id").cast("string"))
+    s1 = (
+        a.withColumn("salt", F.col("vec_id") % KM_SAMPLE_SALTS)
+        .withColumn("skey", skey)
+        .withColumn(
+            "r1",
+            F.row_number().over(
+                Window.partitionBy("cluster", "salt").orderBy(
+                    "skey", "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("r1") <= KM_SAMPLE_M)
+    )
+    return (
+        s1.withColumn(
+            "pick_rank",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy("skey", "vec_id")
+            ),
+        )
+        .filter(F.col("pick_rank") <= KM_SAMPLE_M)
+        .select("vec_id", "cluster", F.col("pick_rank").cast("long").alias("pick_rank"))
+    )

@@ -31,7 +31,11 @@ QUERIES_UNDER_TEST = ["dedup_embedding_cosine", "sim_topk_bruteforce",
                       # vectors at vec_id 0/1 make init centroids 0 and 1
                       # IDENTICAL, so the tie-break and the
                       # empty-cluster-drops-out path both execute
-                      "emb_kmeans_lloyd"]
+                      "emb_kmeans_lloyd",
+                      # quota sampling on the adversarial clustering:
+                      # 60 vectors < 2 surviving clusters x 32 quota, so
+                      # the under-quota (keep-everything) path executes
+                      "emb_cluster_balanced_sample"]
 
 
 def _vectors() -> list[list[float]]:

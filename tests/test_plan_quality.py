@@ -393,3 +393,17 @@ def test_catalog_partitioned_read_prunes_partitions(spark, tmp_path):
     # and the pruned read still returns exactly the partition's rows
     n_en = docs.where(F.col("lang") == "en").count()
     assert filtered.count() == n_en
+
+
+def test_cluster_sample_is_salted_two_phase(spark):
+    """emb_cluster_balanced_sample must NOT take its per-cluster quota
+    with one window over the raw cluster key (K is tiny while clusters
+    are corpus-sized — the megacluster would sort in one reducer): the
+    plan needs the two salted window stages (ql_host_cap's pattern) —
+    first partitioned by (cluster, salt), second by cluster over the
+    bounded survivors."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["emb_cluster_balanced_sample"](spark, SF_SMALL))
+    assert plan.count("Window") >= 2, plan
+    assert "salt" in plan, plan
