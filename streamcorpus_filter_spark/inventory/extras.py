@@ -571,3 +571,91 @@ def scan_warc(spark: SparkSession, sf: str) -> DataFrame:
             f"delimiter collision: {n_rec} records vs {n_docs} docs"
         )
     return parsed
+
+
+# --------------------------------------------------- host-graph rank
+
+PR_ITERS = 2  # fixed damped message-passing rounds (both engines recompute)
+PR_DAMP_NUM = 85  # d = 0.85 as an integer percent
+PR_TOTAL_MICRO = 1_000_000
+
+
+def _pagerank_sql(div: str, table: str = "documents") -> str:
+    """One SQL template for both engines (``div`` = 'DIV' on Spark,
+    '//' on DuckDB): derive a deterministic host link graph from the
+    fixture (each doc emits one edge source-host -> host picked by
+    (doc_id*7+3) mod n_hosts — synthesis scaffolding, NOT part of the
+    operator), then PR_ITERS rounds of damped integer message passing:
+
+        pr'(v) = 150000 DIV n  +  (85 * sum over in-edges of
+                 (pr(u) * w(u,v)) DIV out_w(u)) DIV 100
+
+    every division a truncating integer op, so the trajectory is
+    bit-identical on Spark, DuckDB, and the python recount."""
+    parts = [
+        f"hosts AS (SELECT DISTINCT source AS host FROM {table})",
+        "nodes AS (SELECT host, row_number() OVER (ORDER BY host) - 1"
+        " AS idx FROM hosts)",
+        "cnt AS (SELECT count(*) AS ns FROM nodes)",
+        # a third of all docs link to node 0 (the planted HUB) so the
+        # rank actually differentiates: without the skew the uniform
+        # fixture yields uniform in-weights and the value check would
+        # pass for any rank formula that preserves the total
+        "e AS (SELECT d.source AS src, n.host AS dst, count(*) AS w"
+        f" FROM {table} d CROSS JOIN cnt c"
+        " JOIN nodes n ON n.idx = CASE WHEN d.doc_id % 3 = 0 THEN 0"
+        " ELSE (d.doc_id * 7 + 3) % c.ns END"
+        " GROUP BY d.source, n.host)",
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e"
+        " GROUP BY src)",
+        f"p0 AS (SELECT n.host,"
+        f" CAST({PR_TOTAL_MICRO} {div} c.ns AS BIGINT) AS pr"
+        f" FROM nodes n CROSS JOIN cnt c)",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS host,"
+            f" CAST(sum((p.pr * e.w) {div} o.ow) AS BIGINT) AS contrib"
+            f" FROM e JOIN p{t - 1} p ON p.host = e.src"
+            f" JOIN outw o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"p{t} AS (SELECT n.host,"
+            f" CAST((150000 {div} c0.ns)"
+            f" + ({PR_DAMP_NUM} * coalesce(c.contrib, 0)) {div} 100"
+            f" AS BIGINT) AS pr"
+            f" FROM nodes n CROSS JOIN cnt c0"
+            f" LEFT JOIN c{t} c ON c.host = n.host)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT p.host, o.ow AS out_weight, p.pr AS pr_micro"
+        f" FROM p{PR_ITERS} p JOIN outw o ON o.src = p.host"
+    )
+
+
+@register("graph_host_rank", _pagerank_sql("//"))
+def graph_host_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Damped PageRank over the host link graph — the authority signal
+    web-curation pipelines fold into quality scoring (rank hosts, not
+    pages: the host graph is millions of nodes where the page graph is
+    trillions). Fixed PR_ITERS=2 rounds in exact integer micro-units:
+    per-edge contributions floor-divide BEFORE summing, so the result
+    is independent of summation order and identical across engines —
+    the emb_kmeans_lloyd convention applied to graph iteration.
+
+    Scale shape: each round is one equi-join of the rank vector to the
+    edge list on the source key plus one map-side-combinable
+    groupBy(dst) — the standard distributed PR shape (GraphX/Pregel do
+    exactly this per superstep). No windows, no driver state: the rank
+    vector STAYS a DataFrame across rounds, so a billion-host graph
+    never funnels through the driver. Hub skew (one host receiving a
+    large in-degree) lands in the groupBy, where partial aggregation
+    absorbs it; the join side can salt-replicate a hot src the same way
+    skew_salted_agg does if a real graph needs it. The edge derivation
+    from the fixture (doc -> (doc_id*7+3) mod n_hosts) is deterministic
+    scaffolding so the DuckDB oracle recomputes the same graph at any
+    sf; a real deployment feeds its crawl's (src_host, dst_host, w)
+    edge table straight into the same plan."""
+    load(spark, sf, "documents").createOrReplaceTempView("pr_docs_v")
+    return spark.sql(_pagerank_sql("DIV", table="pr_docs_v"))

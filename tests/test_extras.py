@@ -346,3 +346,52 @@ def test_warc_scan_detects_delimiter_collision(
     monkeypatch.setattr(ex, "load", lambda s_, sf_, tbl: df.select("doc_id"))
     with pytest.raises(AssertionError, match="delimiter collision"):
         ex.scan_warc(spark, SF_SMALL)
+
+
+def test_host_rank_matches_python_recount(spark, reg):
+    """Plain-Python PageRank recount (same integer truncating divisions)
+    independent of both engines, plus structural properties: the planted
+    hub outranks every other host and total mass stays ~1e6."""
+    import duckdb
+
+    from streamcorpus_filter_spark.inventory.extras import (
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_TOTAL_MICRO,
+    )
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, source FROM '{SF_SMALL}/documents.parquet'"
+        )
+        .fetchall()
+    )
+    hosts = sorted({s for _, s in rows})
+    ns = len(hosts)
+    idx = {h: i for i, h in enumerate(hosts)}
+    w: dict[tuple[str, str], int] = {}
+    for doc_id, src in rows:
+        t = 0 if doc_id % 3 == 0 else (doc_id * 7 + 3) % ns
+        w[(src, hosts[t])] = w.get((src, hosts[t]), 0) + 1
+    ow = {h: sum(v for (s, _), v in w.items() if s == h) for h in hosts}
+    pr = {h: PR_TOTAL_MICRO // ns for h in hosts}
+    for _ in range(PR_ITERS):
+        contrib = {h: 0 for h in hosts}
+        for (s, d), wt in w.items():
+            contrib[d] += (pr[s] * wt) // ow[s]
+        pr = {
+            h: 150000 // ns + (PR_DAMP_NUM * contrib[h]) // 100
+            for h in hosts
+        }
+    got = {
+        r.host: (r.out_weight, r.pr_micro)
+        for r in reg.QUERIES["graph_host_rank"](spark, SF_SMALL).collect()
+    }
+    assert got == {h: (ow[h], pr[h]) for h in hosts}
+    # the planted hub (node index 0) strictly outranks everyone else
+    hub = hosts[0]
+    assert all(got[hub][1] > v[1] for h, v in got.items() if h != hub)
+    # damped total mass is conserved up to truncation loss
+    total = sum(v[1] for v in got.values())
+    assert 0.97 * PR_TOTAL_MICRO < total <= PR_TOTAL_MICRO
