@@ -263,6 +263,7 @@ class SnapshotCatalog:
         chain: list[dict],
         audit_id: str | None = None,
         traversed: set[str] | None = None,
+        deletes: list[dict] | None = None,
     ) -> list[dict]:
         """The manifests whose data dirs constitute the logical state at
         the END of ``chain`` — how an Iceberg reader resolves a snapshot.
@@ -273,7 +274,12 @@ class SnapshotCatalog:
         was appended after the rollback, which this walk has already
         collected). Staged commits are invisible unless ``audit_id``
         names one (the write-audit view); abort tombstones carry no
-        content. Returned in chronological order."""
+        content. MERGE-ON-READ delete manifests (``mor_delete``) are not
+        row sources — they are collected into ``deletes`` for the read
+        layer to anti-join (a delete at sequence D applies to data
+        committed at sequence < D); deletes below the stopping rewrite
+        were already folded into the rewrite's state and are never
+        collected. Returned in chronological order."""
         by_id = {s["snapshot_id"]: i for i, s in enumerate(chain)}
         sel: list[dict] = []
         i = len(chain) - 1
@@ -303,6 +309,16 @@ class SnapshotCatalog:
                         "requested snapshot's history"
                     )
                 i = j  # target sequence < rollback sequence: terminates
+                continue
+            if op == "mor_delete":
+                if traversed is not None:
+                    # like rollback redirects, delete-key manifests are
+                    # part of HOW the surviving read set resolves — they
+                    # and their key dirs must outlive expiry with it
+                    traversed.add(s["snapshot_id"])
+                if deletes is not None:
+                    deletes.append(s)
+                i -= 1
                 continue
             sel.append(s)
             if op in self._REWRITE_OPS:
@@ -870,10 +886,13 @@ class SnapshotCatalog:
         head: dict,
         snaps: list[dict],
         traversed: set[str] | None = None,
+        deletes: list[dict] | None = None,
     ) -> list[dict]:
         """Read set of a branch view: the fork point's main read set
-        (normal resolver, so rollbacks/rewrites before the fork behave
-        exactly as on main) plus the branch's data commits on top."""
+        (normal resolver, so rollbacks/rewrites/MoR deletes before the
+        fork behave exactly as on main — and, per the sequence rule,
+        pre-fork deletes never touch the branch's own later-sequence
+        commits) plus the branch's data commits on top."""
         chain, fork = self._branch_chain(head, snaps)
         if fork is None:
             raise ValueError(
@@ -889,6 +908,7 @@ class SnapshotCatalog:
             snaps[: idx + 1],
             audit_id=fork["snapshot_id"],
             traversed=traversed,
+            deletes=deletes,
         )
         return main + [b for b in chain if b.get("data_dir")]
 
@@ -1036,11 +1056,14 @@ class SnapshotCatalog:
                 # branch view (head or any commit on the ref): branch
                 # commits chained by branch_base on top of the fork
                 # point's main state
-                snaps = self._resolve_branch(t, self.snapshots())
+                dels: list[dict] = []
+                snaps = self._resolve_branch(
+                    t, self.snapshots(), deletes=dels
+                )
                 if not snaps:  # unreachable: branches fork from a
                     # visible snapshot, whose read set is non-empty
                     raise ValueError(f"branch ref {snapshot_id!r} empty")
-                return self._read_snapshots(spark, snaps)
+                return self._read_snapshots(spark, snaps, deletes=dels)
         chain = self._chain(snapshot_id)
         if not chain:
             raise ValueError(f"catalog {self.root} has no snapshots")
@@ -1049,14 +1072,18 @@ class SnapshotCatalog:
         # audit view: main as of that point plus the staged batch on top.
         # abort tombstones carry zero logical content and are NEVER read
         # (their data_dir points at a deleted batch). rollback manifests
-        # redirect the walk to their target (metadata-only restore).
-        snaps = self._resolve_read_set(chain, audit_id=snapshot_id)
+        # redirect the walk to their target (metadata-only restore);
+        # mor_delete manifests become read-time anti-joins.
+        dels: list[dict] = []
+        snaps = self._resolve_read_set(
+            chain, audit_id=snapshot_id, deletes=dels
+        )
         if not snaps:
             raise ValueError(
                 f"catalog {self.root} has no visible snapshots "
                 "(only staged commits — publish or audit them by id)"
             )
-        return self._read_snapshots(spark, snaps)
+        return self._read_snapshots(spark, snaps, deletes=dels)
 
     def _data_dir(self, s: dict) -> str:
         """Resolve a manifest's data dir under THIS catalog root by
@@ -1068,14 +1095,29 @@ class SnapshotCatalog:
         wherever the table lives now."""
         return str(self.root / "data" / pathlib.Path(s["data_dir"]).name)
 
-    def _read_snapshots(self, spark: SparkSession, snaps: list[dict]) -> DataFrame:
+    def _read_snapshots(
+        self,
+        spark: SparkSession,
+        snaps: list[dict],
+        deletes: list[dict] | None = None,
+    ) -> DataFrame:
         """Union of the given snapshots' data dirs. Each dir is loaded with
         its own basePath (snapshot dirs each contain their partitionBy
         subdirs — one global basePath would make partition discovery treat
         the snapshot-id level as a partition) and the manifest's recorded
         schema (so partition values keep their true types AND stay in
         PartitionFilters for file-level pruning), then unionByName with
-        allowMissingColumns tolerates schema evolution across snapshots."""
+        allowMissingColumns tolerates schema evolution across snapshots.
+
+        ``deletes`` = merge-on-read equality-delete manifests in scope:
+        each data snapshot is anti-joined against the BROADCAST key
+        tables of every delete committed at a HIGHER sequence (Iceberg
+        v2's sequence rule: a delete applies to rows older than itself,
+        so a key re-appended AFTER the delete survives). Delete-key
+        files are small by design — that is the whole point of MoR: the
+        anti-join rides the scan, and compaction folds the keys away
+        before they accumulate."""
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         dfs = []
@@ -1084,7 +1126,17 @@ class SnapshotCatalog:
             r = spark.read.option("basePath", d)
             if s.get("schema_json"):
                 r = r.schema(StructType.fromJson(json.loads(s["schema_json"])))
-            dfs.append(r.parquet(d))
+            df = r.parquet(d)
+            for dl in deletes or ():
+                if dl["sequence"] > s["sequence"]:
+                    key = dl["metrics"]["delete_key"]
+                    kdf = (
+                        spark.read.parquet(self._data_dir(dl))
+                        .select(*key)
+                        .distinct()
+                    )
+                    df = df.join(F.broadcast(kdf), on=key, how="left_anti")
+            dfs.append(df)
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
@@ -1124,6 +1176,13 @@ class SnapshotCatalog:
                     f"{s['snapshot_id']!r}: rolled-back rows are not "
                     "representable as an append delta — re-read the full "
                     "table or consume from after the rollback"
+                )
+            if s.get("operation") == "mor_delete":
+                raise ValueError(
+                    f"incremental scan crosses merge-on-read delete "
+                    f"{s['snapshot_id']!r}: deleted rows are not "
+                    "representable as an append delta — re-read the full "
+                    "table or consume from after the delete"
                 )
         # staged snapshots are not yet logical content; publish commits a
         # NEW head manifest, so CDC consumers see the batch at publish
@@ -1248,6 +1307,53 @@ class SnapshotCatalog:
             expected_parent=base["snapshot_id"] if base else None,
         )
 
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key: list[str],
+        *,
+        metrics: dict | None = None,
+    ) -> dict:
+        """MERGE-ON-READ equality delete (Iceberg v2's equality-delete
+        files) — the contrast to ``delete_where``'s copy-on-write: the
+        commit writes ONLY the key set (a tiny parquet of the deleted
+        keys), not a rewritten table, so removing a handful of rows from
+        a 100 TB table costs kilobytes. Readers anti-join the broadcast
+        key table against every data file OLDER than the delete
+        (sequence rule), which means a row with the same key appended
+        AFTER the delete survives — exactly Iceberg's semantics, and the
+        property copy-on-write can't give without another rewrite.
+
+        The read-time anti-join is the trade: every scan pays it until a
+        ``compact()`` folds the deletes into a rewritten state (its
+        read() applies them, its REPLACE supersedes them) — Iceberg's
+        rewrite_data_files + rewrite_position_delete_files maintenance
+        pairing. Incremental scans refuse to cross a MoR delete (rows
+        disappeared), same contract as merge/rollback.
+
+        A key set matching zero current rows is a metadata no-op (the
+        delete_where convention): no commit, the latest visible manifest
+        is returned. The matched count is stored as
+        ``metrics.deleted_records`` so history() stays metadata-only.
+        No concurrent-writer pin is needed: the delete only affects
+        LOWER sequences, so a racing append lands above it untouched —
+        the same reason Iceberg equality deletes don't conflict with
+        appends."""
+        kdf = keys.select(*key).distinct()
+        matched = self.read(spark).join(kdf, on=key, how="left_semi").count()
+        if matched == 0:
+            return [
+                s for s in self.snapshots()
+                if s.get("operation") not in self._NON_MAIN_OPS
+            ][-1]
+        return self.append(
+            kdf,
+            metrics={**(metrics or {}), "deleted_records": matched,
+                     "delete_key": list(key)},
+            operation="mor_delete",
+        )
+
     def rollback_to(self, snapshot_id: str) -> dict:
         """Restore the table to an earlier snapshot's state (Iceberg's
         ``rollback_to_snapshot``) as a METADATA-ONLY commit: a new head
@@ -1343,6 +1449,16 @@ class SnapshotCatalog:
                 # target's (None if the target was expired: its row
                 # count is genuinely unknowable from surviving footers)
                 visible = at.get(s["metrics"]["rollback_to"])
+                rows.append((s["sequence"], s["operation"], visible))
+                at[s["snapshot_id"]] = visible
+                continue
+            if s["operation"] == "mor_delete":
+                # the dir holds delete KEYS, not rows; the matched count
+                # was recorded at commit time so history stays
+                # footer/metadata-only
+                visible = (visible or 0) - int(
+                    s["metrics"].get("deleted_records", 0)
+                )
                 rows.append((s["sequence"], s["operation"], visible))
                 at[s["snapshot_id"]] = visible
                 continue

@@ -645,3 +645,44 @@ def sink_branch_ff(spark: SparkSession, sf: str) -> DataFrame:
     if any(m["operation"] != "append" for m in ff):
         raise AssertionError("fast-forward must land as main appends")
     return cat.read(spark)
+
+
+@register(
+    "sink_delete_mor",
+    """
+    SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id, n_chars, lang FROM documents
+    WHERE doc_id % 13 = 0 AND doc_id % 2 = 0
+    """,
+)
+def sink_delete_mor(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read equality delete under the value-hash check — the
+    kilobytes-not-table-rewrite deletion verb (Iceberg v2 equality-
+    delete files), contrasted with sink_delete_where's copy-on-write:
+    the table is seeded across two appends, one delete_keys commit
+    removes every doc_id % 13 == 0 row by writing ONLY the key set
+    (asserted in-query: the commit is operation='mor_delete', no table
+    copy), a second delete matching NOTHING must be a metadata no-op,
+    and then the EVEN half of the deleted keys is re-appended — the
+    sequence rule means those rows SURVIVE (a delete applies only to
+    rows older than itself), which is the exact semantic a
+    copy-on-write delete cannot express without another rewrite. The
+    oracle recomputes survivors + re-appends straight off the fixture;
+    readers pay a broadcast anti-join until compact() folds the keys
+    away (tested in test_compaction.py)."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_mor_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+    cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    cat.append(docs.where(F.col("doc_id") % 2 == 1))
+    doomed = docs.where("doc_id % 13 = 0").select("doc_id")
+    m = cat.delete_keys(spark, doomed, ["doc_id"])
+    if m["operation"] != "mor_delete":  # survives python -O
+        raise AssertionError("delete_keys must commit a mor_delete manifest")
+    noop = cat.delete_keys(
+        spark, doomed.where(F.lit(False)), ["doc_id"]
+    )
+    if noop["snapshot_id"] != m["snapshot_id"]:
+        raise AssertionError("zero-match MoR delete must not commit")
+    cat.append(docs.where("doc_id % 13 = 0 AND doc_id % 2 = 0"))
+    return cat.read(spark)

@@ -1,11 +1,12 @@
 """Model-based property test for the snapshot catalog's mutation verbs.
 
-Hypothesis drives random sequences of append / delete_where / upsert /
-compact / write-audit-publish / rollback_to / branch+fast-forward+drop
-against a SnapshotCatalog while a plain Python dict plays the same
-sequence as the reference model (rollback restores the dict to the
-chosen checkpoint wholesale; branch commits touch the model only when
-fast-forwarded, and pending branches ride through every later verb). Invariants after every sequence:
+Hypothesis drives random sequences of append / delete_where /
+delete_keys (merge-on-read) / upsert / compact / write-audit-publish /
+rollback_to / branch+fast-forward+drop against a SnapshotCatalog while
+a plain Python dict plays the same sequence as the reference model
+(rollback restores the dict to the chosen checkpoint wholesale; branch
+commits touch the model only when fast-forwarded, and pending branches
+ride through every later verb). Invariants after every sequence:
 
   * read() equals the model state exactly (ids AND values);
   * history()'s final visible-row-count equals the model size, and the
@@ -49,6 +50,7 @@ _OPS = st.lists(
                   st.booleans()),
         st.tuples(st.just("stage_only"), st.integers(6, 7)),
         st.tuples(st.just("rollback"), st.integers(0, 9)),
+        st.tuples(st.just("mor_delete"), st.integers(2, 5)),
         st.tuples(st.just("branch_work"), st.integers(0, 2),
                   st.integers(1, 3),
                   st.sampled_from(["ff", "drop", "leave"])),
@@ -122,6 +124,23 @@ def test_catalog_mutations_match_model(spark, ops):
             else:
                 cat.abort_staged(staged["snapshot_id"])
                 continue  # no visible commit, no trajectory entry
+        elif op[0] == "mor_delete":
+            mod = op[1]
+            doomed = {k for k in model if k % mod == 0}
+            m = cat.delete_keys(
+                spark,
+                spark.createDataFrame(
+                    [(k,) for k in sorted(doomed)] or [(-1,)],
+                    "doc_id bigint",
+                ),
+                ["doc_id"],
+            )
+            if not doomed:
+                # zero-match MoR delete is a metadata no-op
+                assert m["snapshot_id"] == checkpoints[-1][0]
+                continue
+            for k in doomed:
+                del model[k]
         elif op[0] == "rollback":
             # roll back to a random earlier VISIBLE checkpoint; the
             # model restores that state wholesale (later appends /

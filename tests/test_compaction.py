@@ -966,3 +966,95 @@ def test_branch_name_and_ref_guards(spark, tmp_path):
         c.branch_append(_rng(spark, 0, 1), "nope")
     with pytest.raises(KeyError):
         c.read(spark, branch="nope")
+
+
+# ------------------------------------------------ merge-on-read deletes
+
+
+def _keys(spark, *ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+
+def test_mor_delete_sequence_rule_and_time_travel(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 6))
+    m = c.delete_keys(spark, _keys(spark, 1, 3, 99), ["doc_id"])
+    assert m["operation"] == "mor_delete"
+    assert m["metrics"]["deleted_records"] == 2  # 99 matched nothing
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 2, 4, 5]
+    # sequence rule: re-appending a deleted key survives
+    c.append(_rng(spark, 3, 4))
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 2, 3, 4, 5]
+    # time travel before the delete is untouched
+    assert sorted(
+        r.doc_id for r in c.read(spark, snapshot_id=s0["snapshot_id"]).collect()
+    ) == [0, 1, 2, 3, 4, 5]
+    # reading as-of the delete commit applies it but not the re-append
+    assert sorted(
+        r.doc_id for r in c.read(spark, snapshot_id=m["snapshot_id"]).collect()
+    ) == [0, 2, 4, 5]
+
+
+def test_mor_delete_noop_incremental_and_history(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 6))
+    m = c.delete_keys(spark, _keys(spark, 0, 2), ["doc_id"])
+    noop = c.delete_keys(spark, _keys(spark, 777), ["doc_id"])
+    assert noop["snapshot_id"] == m["snapshot_id"]
+    with pytest.raises(ValueError, match="merge-on-read delete"):
+        c.read_incremental(spark, s0["snapshot_id"])
+    assert [(r.operation, r.n_rows) for r in c.history(spark).collect()] == [
+        ("append", 6), ("mor_delete", 4),
+    ]
+
+
+def test_mor_delete_folds_into_compaction(spark, tmp_path):
+    """compact() applies pending deletes and its REPLACE supersedes the
+    delete manifests — after compact + expire the keys are physically
+    folded away and the scan pays no anti-join."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 6))
+    m = c.delete_keys(spark, _keys(spark, 1, 3), ["doc_id"])
+    c.compact(spark, target_files=1)
+    c.expire_snapshots()
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 2, 4, 5]
+    assert m["snapshot_id"] not in {s["snapshot_id"] for s in c.snapshots()}
+    assert not pathlib.Path(m["data_dir"]).exists()
+    # and the plan carries no anti-join any more
+    plan = c.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+
+
+def test_mor_delete_rollback_and_branch_interplay(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 4))
+    m = c.delete_keys(spark, _keys(spark, 1), ["doc_id"])
+    # a branch forked after the delete sees the delete applied, and the
+    # branch's own commits are untouched by it (sequence rule)
+    c.create_branch("exp")
+    c.branch_append(_rng(spark, 1, 2), "exp")  # re-adds key 1 on branch
+    assert sorted(
+        r.doc_id for r in c.read(spark, branch="exp").collect()
+    ) == [0, 1, 2, 3]
+    # rollback past the delete restores the rows
+    c.rollback_to(s0["snapshot_id"])
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2, 3]
+    # rolling forward to the delete re-applies it
+    c.rollback_to(m["snapshot_id"])
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 2, 3]
+
+
+def test_mor_delete_survives_expiry_when_in_head_read_set(spark, tmp_path):
+    """A MoR delete between the head and its pre-cut read set must keep
+    its key dir through expiry — losing it would silently resurrect the
+    deleted rows."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 4))
+    c.append(_rng(spark, 4, 6))
+    c.compact(spark, target_files=1)  # the cut
+    c.rollback_to(s0["snapshot_id"])
+    m = c.delete_keys(spark, _keys(spark, 0), ["doc_id"])
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
+    c.expire_snapshots()
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
+    assert pathlib.Path(c._data_dir(m)).exists()
