@@ -527,3 +527,120 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     return _run_to_memory(j, output_mode="append")
 
+
+
+# ------------------------------------------------- streaming WAP gate
+
+def _stage_wap_batches(spark: SparkSession, sf: str) -> str:
+    """Five one-file batches in a flat stream dir: groups doc_id%4 of
+    the real documents (each a GOOD crawl batch) plus one POISONED batch
+    (group-0 copies re-keyed +1000000 with n_chars = -1) that the audit
+    must reject. One parquet file per batch + maxFilesPerTrigger=1 makes
+    batch composition deterministic, so the oracle can recompute the
+    published table exactly."""
+    import pathlib
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf + "/wap_batches")
+    if key not in _STAGE_CACHE:
+        d = tempfile.mkdtemp(prefix="stream_wap_")
+        docs = load(spark, sf, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        batches = [
+            docs.where(F.col("doc_id") % 4 == g) for g in range(4)
+        ] + [
+            docs.where(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "lang",
+                F.lit(-1).cast("long").alias("n_chars"),
+            )
+        ]
+        for i, b in enumerate(batches):
+            tmp = tempfile.mkdtemp(prefix="wap_part_")
+            b.coalesce(1).write.parquet(tmp, mode="overwrite")
+            part = next(pathlib.Path(tmp).glob("*.parquet"))
+            shutil.copy(part, pathlib.Path(d) / f"batch{i}.parquet")
+            shutil.rmtree(tmp, ignore_errors=True)
+        _STAGE_CACHE[key] = d
+    return _STAGE_CACHE[key]
+
+
+@register(
+    "stream_sink_wap",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def stream_sink_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming write-audit-publish quality gate — continuous
+    ingest where every micro-batch is STAGED, audited, then published or
+    aborted, so a bad crawl batch never becomes visible table state and
+    good batches land exactly once. This is the production composition
+    of stream_sink_catalog's exactly-once bookkeeping with the WAP
+    verbs: foreachBatch stages the batch (invisible), the audit checks
+    it (here: no corrupted n_chars < 0 rows — in production the full
+    quality-rule suite runs against the staged audit view), then
+    publish() cherry-picks it to the head or abort_staged() discards it
+    with its inputs left re-ingestable.
+
+    Exactly-once: Spark's foreachBatch is AT-LEAST-ONCE, so the commit
+    fn first scans the catalog for the batch id — staged (pending) and
+    PUBLISHED manifests both carry it (publish inherits staged metrics),
+    so a replay of a published batch is skipped before any data write.
+    A replayed ABORTED batch re-stages and re-aborts to the same
+    outcome (decision idempotence, no row ever duplicated). Exercised
+    under the value-hash check: 5 batches (4 good + 1 poisoned) through
+    the gate, the stream re-run on the same checkpoint (no-op), a
+    published batch force-replayed out-of-band (no-op), and in-query
+    asserts that exactly one abort tombstone exists and exactly 4
+    batches published — the final read must equal the fixture exactly,
+    proof no poisoned row leaked and no good row duplicated."""
+    from ..catalog import SnapshotCatalog
+
+    src = _stage_wap_batches(spark, sf)
+    work = tempfile.mkdtemp(prefix="stream_wap_tbl_")
+    cat = SnapshotCatalog(f"{work}/tbl")
+    schema = "doc_id bigint, lang string, n_chars bigint"
+
+    def commit_batch(bdf: DataFrame, bid: int) -> None:
+        decided = {
+            s["metrics"].get("stream_batch_id") for s in cat.snapshots()
+        }
+        if bid in decided:
+            return  # replay of a pending/published batch: skip pre-write
+        st = cat.stage(bdf, metrics={"stream_batch_id": bid})
+        if bdf.where("n_chars < 0").limit(1).count() == 0:
+            cat.publish(st["snapshot_id"])
+        else:
+            cat.abort_staged(st["snapshot_id"])
+
+    for _ in range(2):  # second run on the same checkpoint sees nothing
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    snaps = cat.snapshots()
+    published = [
+        s for s in snaps
+        if s["metrics"].get("stream_batch_id") is not None
+        and s.get("operation") == "append"
+    ]
+    tombs = [s for s in snaps if s.get("operation") == "abort"]
+    if len(published) != 4 or len(tombs) != 1:  # survives python -O
+        raise AssertionError(
+            f"gate outcome drifted: {len(published)} published, "
+            f"{len(tombs)} aborted (want 4/1)"
+        )
+    # force-replay a published batch out-of-band (at-least-once case)
+    some_bid = published[0]["metrics"]["stream_batch_id"]
+    commit_batch(
+        spark.read.schema(schema).parquet(f"{src}/batch0.parquet"), some_bid
+    )
+    if len(cat.snapshots()) != len(snaps):
+        raise AssertionError("replayed published batch re-committed")
+    return cat.read(spark)
