@@ -1418,6 +1418,64 @@ class SnapshotCatalog:
             "schema_json": s.get("schema_json"),
         })
 
+    def cherry_pick(self, snapshot_id: str) -> dict:
+        """Re-apply one APPEND snapshot's rows onto the current head
+        (Iceberg's ``cherrypick_snapshot``) as a zero-copy metadata
+        commit: a new append manifest referencing the SAME immutable
+        data dir, carrying the source's input-file lineage and metrics
+        plus ``cherry_picked_from`` provenance. The selective redo to
+        rollback_to's undo — after rolling a table back past a bad
+        batch, cherry-pick re-applies the GOOD batches that were undone
+        with it, each for the cost of a manifest write.
+
+        Refused when the source's rows are already in the current state
+        (cherry-picking a visible snapshot would duplicate every row —
+        Iceberg likewise refuses re-applying an already-applied
+        snapshot), and for non-append sources: staged batches go
+        through publish(), rewrites/rollbacks/deletes describe whole
+        table states or subtractions that a re-applied append cannot
+        express. Committed at a fresh head sequence, so MoR deletes
+        older than the cherry-pick do not re-subtract the restored rows
+        (the sequence rule treats it as new data — the semantics a redo
+        wants)."""
+        s = self._by_id(snapshot_id)
+        if s is None:
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        if s.get("operation") != "append":
+            raise ValueError(
+                f"cannot cherry-pick {s.get('operation')!r} snapshot "
+                f"{snapshot_id!r} — only appends re-apply (staged "
+                "batches go through publish())"
+            )
+        # presence is a DATA question, not a manifest-id one: after a
+        # prior cherry-pick the rows sit in the read set under a NEW
+        # manifest id that references the same immutable dir — compare
+        # by dir basename (the catalog's dir-identity convention) so a
+        # double redo is caught either way
+        name = pathlib.Path(s["data_dir"]).name
+        current = self._resolve_read_set(self.snapshots())
+        if any(
+            pathlib.Path(x["data_dir"]).name == name for x in current
+        ):
+            raise ValueError(
+                f"snapshot {snapshot_id!r} is already in the current "
+                "state — cherry-picking it would duplicate its rows"
+            )
+        m = dict(s["metrics"])
+        m["cherry_picked_from"] = snapshot_id
+        return self._commit_manifest({
+            "sequence": -1,
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_id": None,
+            "committed_at": time.time(),
+            "operation": "append",
+            "data_dir": s["data_dir"],
+            "input_files": s["input_files"],
+            "metrics": m,
+            "partition_by": s.get("partition_by", []),
+            "schema_json": s.get("schema_json"),
+        })
+
     def history(self, spark: SparkSession) -> DataFrame:
         """The table's commit history as a DataFrame — Iceberg's
         ``snapshots`` / ``history`` metadata tables: one row per snapshot
@@ -1471,6 +1529,34 @@ class SnapshotCatalog:
             at[s["snapshot_id"]] = visible
         return spark.createDataFrame(
             rows, "sequence bigint, operation string, n_rows bigint"
+        )
+
+    def partitions(self, spark: SparkSession) -> DataFrame:
+        """Iceberg's ``partitions`` metadata table: per-partition file
+        and row counts for the CURRENT read set, computed from manifests
+        plus parquet FOOTERS only — no Spark job touches a data page, so
+        the table-layout audit (is one partition ballooning? did
+        compaction actually shrink file counts?) costs metadata even at
+        100 TB. Partition identity is the directory encoding
+        (``col=value``, multi-level joined with '/'; '' for
+        unpartitioned snapshots). File-level stats by design: MoR
+        delete keys are NOT subtracted — Iceberg's partitions table
+        likewise reports data-file stats, with deletes tracked in their
+        own metadata."""
+        import pyarrow.parquet as pq
+
+        snaps = self._resolve_read_set(self.snapshots())
+        agg: dict[str, list] = {}
+        for s in snaps:
+            base = pathlib.Path(self._data_dir(s))
+            for f in base.rglob("*.parquet"):
+                part = "/".join(f.relative_to(base).parent.parts)
+                a = agg.setdefault(part, [0, 0])
+                a[0] += 1
+                a[1] += pq.read_metadata(f).num_rows
+        return spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in sorted(agg.items())],
+            "partition string, n_files bigint, n_rows bigint",
         )
 
     # ----------------------------------------------------------- maintenance

@@ -686,3 +686,77 @@ def sink_delete_mor(spark: SparkSession, sf: str) -> DataFrame:
         raise AssertionError("zero-match MoR delete must not commit")
     cat.append(docs.where("doc_id % 13 = 0 AND doc_id % 2 = 0"))
     return cat.read(spark)
+
+
+@register(
+    "sink_cherry_pick",
+    """
+    SELECT doc_id, n_chars, lang FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 4 = 3
+    """,
+)
+def sink_cherry_pick(spark: SparkSession, sf: str) -> DataFrame:
+    """Selective redo after an undo (Iceberg's cherrypick_snapshot)
+    under the value-hash check: the table seeds with the even docs, two
+    odd batches land (doc_id%4==1 and %4==3), a rollback undoes BOTH,
+    then cherry-pick re-applies only the %4==3 batch — zero-copy
+    (asserted in-query: no new data dir appears; the new manifest
+    references the undone batch's immutable files). Re-applying a batch
+    whose rows are already visible must refuse (asserted) — that is the
+    duplicate-rows guard. Final read = evens + the one redone batch,
+    recomputed by the oracle straight off the fixture."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_cherry_"))
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+    s0 = cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    cat.append(docs.where("doc_id % 4 = 1"))  # undone and NOT redone
+    b = cat.append(docs.where("doc_id % 4 = 3"))
+    try:
+        cat.cherry_pick(b["snapshot_id"])
+        raise AssertionError(
+            "cherry-pick of a visible snapshot must refuse (duplication)"
+        )
+    except ValueError:
+        pass
+    cat.rollback_to(s0["snapshot_id"])
+    dirs_before = sorted(
+        p.name for p in (cat.root / "data").iterdir() if p.is_dir()
+    )
+    cat.cherry_pick(b["snapshot_id"])
+    dirs_after = sorted(
+        p.name for p in (cat.root / "data").iterdir() if p.is_dir()
+    )
+    if dirs_before != dirs_after:  # survives python -O
+        raise AssertionError("cherry-pick must be zero-copy (no new dir)")
+    return cat.read(spark)
+
+
+@register(
+    "scan_partitions_metadata",
+    """
+    SELECT 'lang=' || lang AS partition,
+           CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_files,
+           count(*) AS n_rows
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_partitions_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """The ``partitions`` metadata table (Iceberg's layout-audit
+    surface) under the value-hash check: documents land partitioned by
+    lang across two single-file-per-partition appends, then the
+    metadata table must report, per partition, exactly the file count
+    (= how many appends contained that lang — the oracle recomputes it
+    as COUNT(DISTINCT doc_id parity)) and row count — computed from
+    manifests + parquet footers alone, no data-page scan. This is the
+    query an operator runs BEFORE deciding to compact: it exposes
+    small-file accumulation per partition at metadata cost."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_parts_"))
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    cat.append(
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1),
+        partition_by=["lang"],
+    )
+    cat.append(
+        docs.where(F.col("doc_id") % 2 == 1).coalesce(1),
+        partition_by=["lang"],
+    )
+    return cat.partitions(spark)

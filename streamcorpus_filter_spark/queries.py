@@ -227,7 +227,7 @@ RUN_ORDER = [
     "pipeline_incremental_ingest", "emb_kmeans_lloyd",
     "ql_classifier_calibration", "sink_rollback", "sink_branch_ff",
     "emb_cluster_balanced_sample", "graph_host_rank", "sink_delete_mor",
-    "stream_sink_wap",
+    "stream_sink_wap", "sink_cherry_pick", "scan_partitions_metadata",
     # de-skew rewrites this round (window -> groupBy shapes): need fresh
     # driver attestation even though their oracles are unchanged
     "curation_pipeline", "ql_dedup_exact", "emb_semantic_dedup",

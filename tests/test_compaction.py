@@ -1025,6 +1025,18 @@ def test_mor_delete_folds_into_compaction(spark, tmp_path):
     assert "LeftAnti" not in plan
 
 
+def test_mor_delete_anti_join_is_broadcast(spark, tmp_path):
+    """Before compaction folds them away, the delete-key anti-join must
+    be a BROADCAST join — a shuffled anti-join would re-partition the
+    whole 100 TB scan on the key to subtract kilobytes of deletes."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 6))
+    c.delete_keys(spark, _keys(spark, 1, 3), ["doc_id"])
+    plan = c.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_mor_delete_rollback_and_branch_interplay(spark, tmp_path):
     c = SnapshotCatalog(str(tmp_path / "tbl"))
     s0 = c.append(_rng(spark, 0, 4))
@@ -1058,3 +1070,77 @@ def test_mor_delete_survives_expiry_when_in_head_read_set(spark, tmp_path):
     c.expire_snapshots()
     assert sorted(r.doc_id for r in c.read(spark).collect()) == [1, 2, 3]
     assert pathlib.Path(c._data_dir(m)).exists()
+
+
+# ----------------------------------------------------------- cherry-pick
+
+
+def test_cherry_pick_redo_after_rollback(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 2), input_files=["in/a"])
+    good = c.append(_rng(spark, 2, 4), input_files=["in/b"])
+    c.append(_rng(spark, 4, 6), input_files=["in/bad"])
+    c.rollback_to(s0["snapshot_id"])
+    m = c.cherry_pick(good["snapshot_id"])
+    assert m["metrics"]["cherry_picked_from"] == good["snapshot_id"]
+    assert m["data_dir"] == good["data_dir"]  # zero-copy
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2, 3]
+    # the redone batch's lineage is processed again; the bad one is not
+    assert c.processed_inputs() == {"in/a", "in/b"}
+    # re-applying it AGAIN must refuse (now visible)
+    with pytest.raises(ValueError, match="already in the current state"):
+        c.cherry_pick(good["snapshot_id"])
+    with pytest.raises(ValueError, match="already in the current state"):
+        c.cherry_pick(m["snapshot_id"])
+
+
+def test_cherry_pick_refuses_non_appends(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 4))
+    st = c.stage(_rng(spark, 10, 11))
+    with pytest.raises(ValueError, match="publish"):
+        c.cherry_pick(st["snapshot_id"])
+    c.abort_staged(st["snapshot_id"])
+    rep = c.compact(spark, target_files=1)
+    with pytest.raises(ValueError, match="only appends"):
+        c.cherry_pick(rep["snapshot_id"])
+    with pytest.raises(KeyError):
+        c.cherry_pick("nope")
+
+
+def test_cherry_pick_survives_compact_expire(spark, tmp_path):
+    """After the cherry-pick, a compaction + expiry may reclaim the
+    ORIGINAL manifest while the shared data dir must survive as long as
+    any reference does — and the final state stays correct."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    s0 = c.append(_rng(spark, 0, 2))
+    good = c.append(_rng(spark, 2, 4))
+    c.rollback_to(s0["snapshot_id"])
+    c.cherry_pick(good["snapshot_id"])
+    c.compact(spark, target_files=1)
+    c.expire_snapshots()
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2, 3]
+
+
+def test_partitions_metadata_tracks_compaction(spark, tmp_path):
+    """The partitions table must expose small-file accumulation and then
+    reflect the compaction that fixes it — all from footers."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    for i in range(3):
+        c.append(
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1),
+            partition_by=["lang"],
+        )
+    before = {r.partition: r for r in c.partitions(spark).collect()}
+    assert all(k.startswith("lang=") for k in before)
+    assert all(r.n_files == 3 for r in before.values())
+    total = docs.count()
+    assert sum(r.n_rows for r in before.values()) == total
+    c.compact(spark, target_files=1)
+    after = {r.partition: r for r in c.partitions(spark).collect()}
+    # compaction rewrote unpartitioned -> one '' partition, fewer files
+    assert set(after) == {""} and after[""].n_rows == total
+    assert after[""].n_files < sum(r.n_files for r in before.values())
