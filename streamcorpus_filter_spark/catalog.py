@@ -12,13 +12,33 @@ partitioned Parquet plus JSON snapshot manifests:
   * snapshot-id reads (read the table as of any snapshot);
   * incremental/resume reads (the set of already-processed input files,
     so a restarted job anti-joins them away — the manifest IS the
-    checkpoint).
+    checkpoint);
+  * maintenance & mutation verbs: compact (REPLACE rewrite), upsert
+    (copy-on-write MERGE), delete_where (copy-on-write DELETE),
+    delete_keys (merge-on-read equality deletes: key-set-only commits,
+    read-time broadcast anti-join under the sequence rule),
+    expire_snapshots (tag/branch/head-read-set-protected GC with
+    lineage folding), remove_orphan_files;
+  * refs & undo/redo: tags (immutable release refs), branches
+    (branch_base pointer parentage + zero-copy crash-idempotent
+    fast_forward + drop_branch), rollback_to (metadata-only restore via
+    the jump-walk read resolver), cherry_pick (zero-copy selective redo
+    with a data-dir-identity duplicate guard);
+  * write-audit-publish: stage / publish / abort_staged, serialized
+    through lower-sequence-wins decisive manifests;
+  * metadata tables: history() (visible-row trajectory) and
+    partitions() (per-partition file/row counts), both computed from
+    manifests + parquet footers with no data-page scan.
 
 On a real cluster every call site maps 1:1 onto Iceberg:
   append(...)            -> df.writeTo(tbl).append() + snapshot summary
   read(snapshot_id=...)  -> spark.read.format("iceberg")
                               .option("snapshot-id", ...).load(tbl)
   processed_inputs(...)  -> snapshot summary / lineage table
+  delete_keys(...)       -> Iceberg v2 equality-delete files
+  rollback_to/cherry_pick-> rollback_to_snapshot / cherrypick_snapshot
+  branches/tags          -> branch & tag refs; fast_forward
+  history()/partitions() -> the history / partitions metadata tables
 Only this module would change; pipeline code is catalog-agnostic.
 
 Reference analog: streamcorpus-filter wrote output chunk files and relied
