@@ -2,7 +2,8 @@
 
 Hypothesis drives random sequences of append / delete_where /
 delete_keys (merge-on-read) / upsert / compact / write-audit-publish /
-rollback_to / branch+fast-forward+drop against a SnapshotCatalog while
+rollback_to / cherry_pick / branch+fast-forward+drop against a
+SnapshotCatalog while
 a plain Python dict plays the same sequence as the reference model
 (rollback restores the dict to the chosen checkpoint wholesale; branch
 commits touch the model only when fast-forwarded, and pending branches
@@ -51,6 +52,7 @@ _OPS = st.lists(
         st.tuples(st.just("stage_only"), st.integers(6, 7)),
         st.tuples(st.just("rollback"), st.integers(0, 9)),
         st.tuples(st.just("mor_delete"), st.integers(2, 5)),
+        st.tuples(st.just("cherry_pick"), st.integers(0, 9)),
         st.tuples(st.just("branch_work"), st.integers(0, 2),
                   st.integers(1, 3),
                   st.sampled_from(["ff", "drop", "leave"])),
@@ -77,6 +79,9 @@ def test_catalog_mutations_match_model(spark, ops):
     model.update(seed)
     trajectory.append(len(model))
     checkpoints.append((cat.latest_snapshot()["snapshot_id"], dict(model)))
+    append_log: list[tuple[str, dict[int, int]]] = [
+        (checkpoints[-1][0], dict(seed))
+    ]  # every APPEND commit, for cherry_pick to redo
 
     for op in ops:
         version += 1
@@ -87,9 +92,10 @@ def test_catalog_mutations_match_model(spark, ops):
             batch = {k: v for k, v in batch.items() if k not in model}
             if not batch:
                 continue
-            cat.append(spark.createDataFrame(
+            m = cat.append(spark.createDataFrame(
                 sorted(batch.items()), "doc_id bigint, v bigint"))
             model.update(batch)
+            append_log.append((m["snapshot_id"], dict(batch)))
         elif op[0] == "delete":
             mod = op[1]
             doomed = {k for k in model if k % mod == 0}
@@ -124,6 +130,27 @@ def test_catalog_mutations_match_model(spark, ops):
             else:
                 cat.abort_staged(staged["snapshot_id"])
                 continue  # no visible commit, no trajectory entry
+        elif op[0] == "cherry_pick":
+            # try to redo a random past append. The verb only fires
+            # when NONE of the batch's keys are in the model (a real
+            # operator cherry-picks batches undone by rollback; a
+            # key-overlapping redo would create duplicates the dict
+            # model cannot express, so those draws are skipped). Even
+            # with zero key overlap the catalog may still refuse by
+            # DATA-DIR identity — e.g. a MoR delete emptied the batch's
+            # keys while its dir stayed in the read set — which is a
+            # correct conservative refusal: skip then too.
+            sid, batch = append_log[op[1] % len(append_log)]
+            if set(batch) & set(model):
+                continue
+            if cat._by_id(sid) is None:
+                continue  # manifest gone (not reachable here; keeps
+                # the verb total if expiry ever interleaves)
+            try:
+                cat.cherry_pick(sid)
+            except ValueError:
+                continue
+            model.update(batch)
         elif op[0] == "mor_delete":
             mod = op[1]
             doomed = {k for k in model if k % mod == 0}
