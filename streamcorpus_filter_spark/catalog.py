@@ -1334,6 +1334,7 @@ class SnapshotCatalog:
         key: list[str],
         *,
         metrics: dict | None = None,
+        count_matched: bool = True,
     ) -> dict:
         """MERGE-ON-READ equality delete (Iceberg v2's equality-delete
         files) — the contrast to ``delete_where``'s copy-on-write: the
@@ -1352,27 +1353,34 @@ class SnapshotCatalog:
         pairing. Incremental scans refuse to cross a MoR delete (rows
         disappeared), same contract as merge/rollback.
 
-        A key set matching zero current rows is a metadata no-op (the
-        delete_where convention): no commit, the latest visible manifest
-        is returned. The matched count is stored as
-        ``metrics.deleted_records`` so history() stays metadata-only.
-        No concurrent-writer pin is needed: the delete only affects
-        LOWER sequences, so a racing append lands above it untouched —
-        the same reason Iceberg equality deletes don't conflict with
-        appends."""
+        With ``count_matched=True`` (default) the commit first scans for
+        the matched count: a key set matching zero current rows is a
+        metadata no-op (the delete_where convention) and the count is
+        stored as ``metrics.deleted_records`` so history() stays
+        metadata-only. ``count_matched=False`` is the PRODUCTION fast
+        path — commit cost truly O(keys), no table scan at all, which
+        is how Iceberg's own equality-delete commit behaves (its
+        snapshot summary records delete FILES, not matched rows); the
+        trade is that zero-match key sets commit anyway and history()
+        reports NULL visible counts from that snapshot on (the count is
+        genuinely unknowable without a scan). No concurrent-writer pin
+        is needed either way: the delete only affects LOWER sequences,
+        so a racing append lands above it untouched — the same reason
+        Iceberg equality deletes don't conflict with appends."""
         kdf = keys.select(*key).distinct()
-        matched = self.read(spark).join(kdf, on=key, how="left_semi").count()
-        if matched == 0:
-            return [
-                s for s in self.snapshots()
-                if s.get("operation") not in self._NON_MAIN_OPS
-            ][-1]
-        return self.append(
-            kdf,
-            metrics={**(metrics or {}), "deleted_records": matched,
-                     "delete_key": list(key)},
-            operation="mor_delete",
-        )
+        m = dict(metrics or {})
+        m["delete_key"] = list(key)
+        if count_matched:
+            matched = (
+                self.read(spark).join(kdf, on=key, how="left_semi").count()
+            )
+            if matched == 0:
+                return [
+                    s for s in self.snapshots()
+                    if s.get("operation") not in self._NON_MAIN_OPS
+                ][-1]
+            m["deleted_records"] = matched
+        return self.append(kdf, metrics=m, operation="mor_delete")
 
     def rollback_to(self, snapshot_id: str) -> dict:
         """Restore the table to an earlier snapshot's state (Iceberg's
@@ -1533,9 +1541,13 @@ class SnapshotCatalog:
             if s["operation"] == "mor_delete":
                 # the dir holds delete KEYS, not rows; the matched count
                 # was recorded at commit time so history stays
-                # footer/metadata-only
-                visible = (visible or 0) - int(
-                    s["metrics"].get("deleted_records", 0)
+                # footer/metadata-only. A count_matched=False fast-path
+                # commit recorded no count: the visible trajectory is
+                # genuinely unknowable from there without a scan -> NULL
+                dr = s["metrics"].get("deleted_records")
+                visible = (
+                    None if dr is None or visible is None
+                    else visible - int(dr)
                 )
                 rows.append((s["sequence"], s["operation"], visible))
                 at[s["snapshot_id"]] = visible
@@ -1544,7 +1556,12 @@ class SnapshotCatalog:
                 pq.read_metadata(f).num_rows
                 for f in pathlib.Path(self._data_dir(s)).rglob("*.parquet")
             )
-            visible = n if s["operation"] in ("replace", "merge") else (visible or 0) + n
+            # a None (unknowable) count stays None through appends and
+            # resets only at the next full-state rewrite
+            visible = (
+                n if s["operation"] in ("replace", "merge")
+                else (None if visible is None else visible + n)
+            )
             rows.append((s["sequence"], s["operation"], visible))
             at[s["snapshot_id"]] = visible
         return spark.createDataFrame(

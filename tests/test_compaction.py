@@ -1144,3 +1144,24 @@ def test_partitions_metadata_tracks_compaction(spark, tmp_path):
     # compaction rewrote unpartitioned -> one '' partition, fewer files
     assert set(after) == {""} and after[""].n_rows == total
     assert after[""].n_files < sum(r.n_files for r in before.values())
+
+
+def test_mor_delete_fast_path_skips_scan_and_history_goes_null(spark, tmp_path):
+    """count_matched=False is the O(keys) production commit (Iceberg's
+    equality-delete behavior: no scan at commit): zero-match key sets
+    commit anyway, and history() honestly reports NULL visible counts
+    from that snapshot until the next rewrite resets them."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 6))
+    m = c.delete_keys(
+        spark, _keys(spark, 1, 777), ["doc_id"], count_matched=False
+    )
+    assert m["operation"] == "mor_delete"
+    assert "deleted_records" not in m["metrics"]
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 2, 3, 4, 5]
+    c.append(_rng(spark, 10, 12))
+    hist = [(r.operation, r.n_rows) for r in c.history(spark).collect()]
+    assert hist == [("append", 6), ("mor_delete", None), ("append", None)]
+    # the rewrite resets the trajectory to a known count
+    c.compact(spark, target_files=1)
+    assert [r.n_rows for r in c.history(spark).collect()][-1] == 7
