@@ -205,9 +205,14 @@ from .inventory import (  # noqa: E402,F401
 # closes the cumulative record. Next come the queries whose
 # implementation CHANGED this round (de-skewed ql_line_dedup /
 # dedup_substring_spans, the recomputable-oracle sim_ivf_topk rewrite)
-# plus the round-4 additions — all need fresh attestation. Everything
-# after position ~15 is already green in r01/r02/r03 on unchanged code,
-# so a time-box cuts rows the record already shows green. Anything
+# plus the round-4 additions — all need fresh attestation (the late
+# round-4 batch: kmeans/calibration/cluster-sample/host-rank and the
+# catalog's rollback/branch/MoR-delete/WAP-stream/cherry-pick/
+# partitions rows; every never-attested id sits at position <= 36,
+# inside the ~50-query time-box). Everything
+# after the never-attested block is already green in r01/r02/r03 on
+# unchanged code, so a time-box cuts rows the record already shows
+# green. Anything
 # registered but not listed is appended in registration order
 # (tests/test_plan_quality.py covers the full registry regardless).
 RUN_ORDER = [

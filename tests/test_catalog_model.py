@@ -62,7 +62,8 @@ _OPS = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=16, deadline=None)  # 9 verbs: a few extra draws
+# buy real interaction coverage (rollback x branch x MoR x WAP)
 @given(_OPS)
 def test_catalog_mutations_match_model(spark, ops):
     root = tempfile.mkdtemp(prefix="cat_model_")
