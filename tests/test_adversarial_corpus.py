@@ -101,6 +101,17 @@ QUERIES_UNDER_TEST = [
     "sink_wap_publish",
     "sink_export_shards",
     "pipeline_incremental_ingest",
+    # round-4 latest: the undo/redo + MoR + metadata + streaming-gate
+    # catalog rows, the calibration diagram, and the host-graph rank —
+    # all documents-only, all must survive tabs/NBSP/empty docs
+    "ql_classifier_calibration",
+    "graph_host_rank",
+    "sink_rollback",
+    "sink_branch_ff",
+    "sink_delete_mor",
+    "sink_cherry_pick",
+    "scan_partitions_metadata",
+    "stream_sink_wap",
 ]
 
 _TEXTS = [
