@@ -492,7 +492,15 @@ def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     round. Final assignment is map-only. Ties: numpy argmin = first
     minimum over k-ascending centroids = the oracle's ORDER BY dist, k;
     a cluster emptied by an update drops out of the groupBy on BOTH
-    engines and later rounds proceed with the survivors."""
+    engines and later rounds proceed with the survivors.
+
+    Each round re-scans the parquet table (a pruned two-column columnar
+    scan) instead of caching the quantized vectors: at 100 TB a re-scan
+    is cheaper than materializing the working set in executor memory,
+    and it keeps the op stateless across rounds (a retry resumes from
+    the table, not a lost cache). If KM_ITERS grew to tens,
+    ``persist(MEMORY_AND_DISK)`` on ``q`` is the one-line knob — the
+    plan shape is unchanged."""
     import numpy as np
     import pandas as pd
 
