@@ -490,7 +490,95 @@ def main() -> None:
             "scaling_efficiency": round(eff_ctrl, 3),
             "scaling_efficiency_spark_relative": round(eff_spark_rel, 3),
         }
+    emit(out)
+
+
+def emit(out: dict) -> None:
+    """Print results keeping the FINAL stdout line driver-parseable.
+
+    The driver captures only the last ~2,000 characters of stdout and
+    parses the final JSON line; round 4's single fat line (scaling
+    rounds[] + two ratio maps + methodology prose) outgrew that window
+    and BENCH_r04.json recorded ``"parsed": null`` (VERDICT r4 task 1).
+    Fix: the full detail goes to a ``BENCH/BENCH_DETAIL.json`` sidecar
+    AND an *earlier* stdout line (human-greppable, driver-ignored); the
+    final line is a compact summary — metric, value, queries,
+    wall_ratios, stable_comparators, scaling efficiencies — with a hard
+    size guard well under the 2 KB tail capture. Each invocation also
+    appends its stable_comparators to ``BENCH/HISTORY.jsonl`` (VERDICT
+    r4 task 8) so round-over-round regressions are a one-line diff.
+    """
+    import time as _time
+
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        # append-only perf ratchet; single os.write of one line = atomic
+        # on POSIX for appends far below PIPE_BUF
+        row = {
+            "ts": int(_time.time()),
+            "sf": out.get("sf"),
+            "cores": out.get("cores"),
+            "queries": out.get("queries"),
+            "wall_ratios": out.get("wall_ratios"),
+            "stable_comparators": out.get("stable_comparators"),
+        }
+        fd = os.open(
+            os.path.join(bench_dir, "HISTORY.jsonl"),
+            os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+        )
+        try:
+            os.write(fd, (json.dumps(row) + "\n").encode())
+        finally:
+            os.close(fd)
+    except OSError:
+        pass  # read-only checkout must not kill the bench
+
+    # full detail as an EARLIER line: visible to humans reading logs,
+    # harmless to the driver's tail capture because a complete compact
+    # line follows it
     print(json.dumps(out))
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "cores": out["cores"],
+        "spark_control_wall": out.get("spark_control_wall"),
+        "wall_ratios": out.get("wall_ratios"),
+        "detail": "BENCH/BENCH_DETAIL.json",
+    }
+    for k in ("pipeline_docs", "pipeline_docs_per_sec"):
+        if k in out:
+            compact[k] = out[k]
+    sc = out.get("scaling")
+    if sc:
+        compact["scaling"] = {
+            "cores_lo": sc["cores_lo"],
+            "cores_hi": sc["cores_hi"],
+            "docs_per_sec_lo": sc["pipeline_docs_per_sec_lo"],
+            "docs_per_sec_hi": sc["pipeline_docs_per_sec_hi"],
+            "efficiency_raw": sc["efficiency_raw"],
+            "efficiency_ctrl_normalized": sc["efficiency_ctrl_normalized"],
+            "efficiency_spark_relative": sc["efficiency_spark_relative"],
+        }
+    if "stable_comparators" in out:
+        compact["stable_comparators"] = out["stable_comparators"]
+    line = json.dumps(compact)
+    # hard guard: stay comfortably inside the driver's ~2 KB tail capture
+    while len(line) > 1800:
+        for victim in ("wall_ratios", "spark_control_wall", "detail"):
+            if victim in compact:
+                del compact[victim]
+                break
+        else:
+            break
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -444,7 +444,27 @@ class SnapshotCatalog:
                 f"staged snapshot {staged_snapshot_id!r} was aborted — "
                 "its batch is gone; re-stage and re-audit it"
             )
-        s = self._get_staged(staged_snapshot_id)
+        try:
+            s = self._get_staged(staged_snapshot_id)
+        except KeyError:
+            # TOCTOU window (observed once under full-suite load,
+            # test_catalog_races.py): racer A passes the pre-scan (no
+            # head, no tombstone) while racer B commits the published
+            # head AND unlinks the staged manifest; A's _get_staged then
+            # sees the id vanish. The staged manifest disappearing is
+            # only legal as the LAST step of a finished publish or abort,
+            # so re-scan and converge to whoever won; re-raise only if
+            # the id is genuinely unknown (caller typo / wrong table).
+            snaps = self.snapshots()
+            head = self._published_head(staged_snapshot_id, snaps)
+            if head is not None:
+                return head
+            if self._abort_tombstone(staged_snapshot_id, snaps) is not None:
+                raise ValueError(
+                    f"staged snapshot {staged_snapshot_id!r} was aborted — "
+                    "its batch is gone; re-stage and re-audit it"
+                ) from None
+            raise
         manifest = {
             "sequence": -1,  # assigned by the commit loop
             "snapshot_id": uuid.uuid4().hex[:16],
@@ -1481,13 +1501,30 @@ class SnapshotCatalog:
         # by dir basename (the catalog's dir-identity convention) so a
         # double redo is caught either way
         name = pathlib.Path(s["data_dir"]).name
-        current = self._resolve_read_set(self.snapshots())
+        snaps = self.snapshots()
+        current = self._resolve_read_set(snaps)
         if any(
             pathlib.Path(x["data_dir"]).name == name for x in current
         ):
             raise ValueError(
                 f"snapshot {snapshot_id!r} is already in the current "
                 "state — cherry-picking it would duplicate its rows"
+            )
+        # ...but dir identity alone misses rewrites: a compact/upsert
+        # folds an earlier append's ROWS into a NEW dir, so the source
+        # dir vanishes from the read set while its rows remain table
+        # content (append A, compact, cherry_pick(A) would silently
+        # duplicate every row of A). A source ON the current timeline
+        # is by construction still contributing its rows — only
+        # rollback-undone appends fall OFF the timeline and are legal
+        # redo targets (mirrors Iceberg's refusal to cherry-pick an
+        # ancestor of the current state).
+        if s["snapshot_id"] in self._timeline_ids(snaps):
+            raise ValueError(
+                f"snapshot {snapshot_id!r} is on the current timeline — "
+                "its rows persist through any later rewrite, so "
+                "cherry-picking it would duplicate them (only "
+                "rollback-undone appends are redo targets)"
             )
         m = dict(s["metrics"])
         m["cherry_picked_from"] = snapshot_id

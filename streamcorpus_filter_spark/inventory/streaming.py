@@ -583,11 +583,14 @@ def stream_sink_wap(spark: SparkSession, sf: str) -> DataFrame:
     with its inputs left re-ingestable.
 
     Exactly-once: Spark's foreachBatch is AT-LEAST-ONCE, so the commit
-    fn first scans the catalog for the batch id — staged (pending) and
-    PUBLISHED manifests both carry it (publish inherits staged metrics),
-    so a replay of a published batch is skipped before any data write.
-    A replayed ABORTED batch re-stages and re-aborts to the same
-    outcome (decision idempotence, no row ever duplicated). Exercised
+    fn first scans the catalog for the batch id — a PUBLISHED manifest
+    carrying it (publish inherits staged metrics) means the decision
+    landed, so the replay is skipped before any data write; a bid whose
+    only carrier is a still-STAGED manifest means the writer crashed
+    between stage() and the decision, and the replay FINISHES it by
+    re-auditing the durable staged rows (skipping would strand the
+    batch invisible forever). A replayed ABORTED batch re-stages and
+    re-aborts to the same outcome (decision idempotence). Exercised
     under the value-hash check: 5 batches (4 good + 1 poisoned) through
     the gate, the stream re-run on the same checkpoint (no-op), a
     published batch force-replayed out-of-band (no-op), and in-query
@@ -602,16 +605,32 @@ def stream_sink_wap(spark: SparkSession, sf: str) -> DataFrame:
     schema = "doc_id bigint, lang string, n_chars bigint"
 
     def commit_batch(bdf: DataFrame, bid: int) -> None:
-        decided = {
-            s["metrics"].get("stream_batch_id") for s in cat.snapshots()
-        }
-        if bid in decided:
-            return  # replay of a pending/published batch: skip pre-write
-        st = cat.stage(bdf, metrics={"stream_batch_id": bid})
-        if bdf.where("n_chars < 0").limit(1).count() == 0:
-            cat.publish(st["snapshot_id"])
+        # replay triage must distinguish DECIDED from PENDING: a bid on
+        # a published head (publish inherits staged metrics) means skip
+        # before any data write, but a bid whose only carrier is a
+        # still-staged manifest means the writer crashed between stage()
+        # and the publish/abort decision — skipping THAT would leave the
+        # batch staged/invisible forever (silent data loss on the
+        # exactly-once path). Finish the decision instead: re-audit the
+        # durable STAGED rows (not the replayed frame) and publish/abort
+        # — both verbs are idempotent, so a racing twin converges.
+        pending = None
+        for s in cat.snapshots():
+            if s["metrics"].get("stream_batch_id") != bid:
+                continue
+            if s.get("operation") == "staged":
+                pending = s
+            else:
+                return  # published: the decision already landed
+        if pending is None:
+            pending = cat.stage(bdf, metrics={"stream_batch_id": bid})
+            audit = bdf
         else:
-            cat.abort_staged(st["snapshot_id"])
+            audit = spark.read.parquet(pending["data_dir"])
+        if audit.where("n_chars < 0").limit(1).count() == 0:
+            cat.publish(pending["snapshot_id"])
+        else:
+            cat.abort_staged(pending["snapshot_id"])
 
     for _ in range(2):  # second run on the same checkpoint sees nothing
         q = (
@@ -643,4 +662,16 @@ def stream_sink_wap(spark: SparkSession, sf: str) -> DataFrame:
     )
     if len(cat.snapshots()) != len(snaps):
         raise AssertionError("replayed published batch re-committed")
+    # crash-between-stage-and-decision replay: stage a poisoned batch
+    # under a fresh bid (the writer "crashed" before auditing), then
+    # replay — the gate must FINISH the decision from the durable staged
+    # rows (here: abort), never skip and strand the batch invisible
+    poisoned = spark.read.schema(schema).parquet(f"{src}/batch4.parquet")
+    cat.stage(poisoned, metrics={"stream_batch_id": 99})
+    commit_batch(poisoned.limit(0), 99)  # replayed frame may be anything
+    snaps2 = cat.snapshots()
+    if len([s for s in snaps2 if s.get("operation") == "staged"]) != 0:
+        raise AssertionError("pending replay left a batch staged forever")
+    if len([s for s in snaps2 if s.get("operation") == "abort"]) != 2:
+        raise AssertionError("pending poisoned replay was not aborted")
     return cat.read(spark)

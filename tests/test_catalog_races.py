@@ -436,3 +436,68 @@ def test_abort_retry_drops_leftover_tombstone_when_publish_won(spark, tmp_path):
     ]
     assert tombs == []
     assert sorted(r.id for r in c.read(spark).collect()) == [0, 1, 2, 3]
+
+
+def test_publish_toctou_staged_vanished_converges_to_winner(spark, tmp_path):
+    """Deterministic pin of the staged-manifest-vanished interleaving
+    (observed once under full-suite load as a KeyError escape): racer A
+    passes the pre-scan (no head, no tombstone), then racer B completes
+    its ENTIRE publish — head committed AND staged manifest unlinked —
+    before A reaches _get_staged. A must converge to B's head, not
+    raise. Injection point: an instance-attribute shadow of
+    _get_staged that runs the winner's full publish first."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    winner = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_df(spark, 0, 2))
+    staged = c.stage(_df(spark, 2, 4))
+
+    orig = c._get_staged
+    won: dict = {}
+
+    def vanish_then_lookup(sid):
+        if not won:
+            won["head"] = winner.publish(sid)  # full publish: head+unlink
+        return orig(sid)
+
+    c._get_staged = vanish_then_lookup
+    out = c.publish(staged["snapshot_id"])
+    assert out["snapshot_id"] == won["head"]["snapshot_id"]
+    published = [
+        s for s in c.snapshots()
+        if s.get("metrics", {}).get("published_from") == staged["snapshot_id"]
+    ]
+    assert len(published) == 1
+    assert sorted(r.id for r in c.read(spark).collect()) == [0, 1, 2, 3]
+
+
+def test_publish_toctou_staged_vanished_surfaces_winner_abort(spark, tmp_path):
+    """Same vanished-staged window, but the racer that finished first
+    was an ABORT: the losing publisher must surface the abort
+    ValueError (the batch is gone), not a KeyError."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    winner = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_df(spark, 0, 2))
+    staged = c.stage(_df(spark, 2, 4))
+
+    orig = c._get_staged
+    fired: dict = {}
+
+    def vanish_then_lookup(sid):
+        if not fired:
+            fired["x"] = True
+            winner.abort_staged(sid)
+        return orig(sid)
+
+    c._get_staged = vanish_then_lookup
+    with pytest.raises(ValueError, match="aborted"):
+        c.publish(staged["snapshot_id"])
+    assert sorted(r.id for r in c.read(spark).collect()) == [0, 1]
+
+
+def test_publish_unknown_id_still_raises_keyerror(spark, tmp_path):
+    """The TOCTOU healing must not swallow genuine caller errors: a
+    publish of an id no snapshot ever carried stays a KeyError."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_df(spark, 0, 2))
+    with pytest.raises(KeyError, match="unknown snapshot"):
+        c.publish("never-existed-0000")

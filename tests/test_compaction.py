@@ -1165,3 +1165,35 @@ def test_mor_delete_fast_path_skips_scan_and_history_goes_null(spark, tmp_path):
     # the rewrite resets the trajectory to a known count
     c.compact(spark, target_files=1)
     assert [r.n_rows for r in c.history(spark).collect()][-1] == 7
+
+
+def test_cherry_pick_refuses_rewrite_folded_append(spark, tmp_path):
+    """Dir identity alone misses rewrites: after append A, compact,
+    the compaction folded A's ROWS into a new dir, so A's dir basename
+    is gone from the read set while its rows remain table content —
+    cherry_pick(A) must refuse by timeline membership (it would
+    silently duplicate every row of A), while a rollback-undone append
+    stays a legal redo target."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    a = c.append(_rng(spark, 0, 2))
+    c.append(_rng(spark, 2, 4))
+    c.compact(spark, target_files=1)
+    with pytest.raises(ValueError, match="on the current timeline"):
+        c.cherry_pick(a["snapshot_id"])
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [0, 1, 2, 3]
+
+    # upsert is a rewrite too: same refusal through that fold
+    d = c.append(_rng(spark, 4, 6))
+    c.upsert(spark, _rng(spark, 4, 5), ["doc_id"])
+    with pytest.raises(ValueError, match="on the current timeline"):
+        c.cherry_pick(d["snapshot_id"])
+
+    # the legal shape is untouched: rollback throws an append OFF the
+    # timeline, after which the redo commits zero-copy
+    pre = c.latest_snapshot()
+    good = c.append(_rng(spark, 6, 8))
+    c.rollback_to(pre["snapshot_id"])
+    m = c.cherry_pick(good["snapshot_id"])
+    assert m["data_dir"] == good["data_dir"]
+    assert sorted(r.doc_id for r in c.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7]
