@@ -22,10 +22,12 @@ The question the table answers: does probe cost scale with the BATCH
 ingest rescans history)? Expected: index scan grows with seen size but
 the verify work stays proportional to candidates.
 
-Round-4 addition: each probe is ALSO re-run against the same index
-stored as a Hive-bucketed table (`bucketBy(32, band, bh)` +
-saveAsTable) — the sandbox stand-in for the Iceberg bucket(bh)
-partition transform a 10^12-doc deployment would use. At THIS scale
+Rounds 4-5: each probe is ALSO re-run against the same index
+persisted through SnapshotCatalog's own bucket(n, cols) partition
+transform (`append(bucket_by=(32, [band, bh]))` — round 5 made the
+transform native to the catalog, retiring round 4's Hive saveAsTable
+stand-in), the Iceberg bucket(bh) layout a 10^12-doc deployment
+would use. At THIS scale
 the two layouts measure the same, and that is itself the finding:
 the probe's band keys are a fixed-size batch, so AQE broadcasts them
 and the index side plans NO Exchange in either layout (verified via
@@ -160,21 +162,22 @@ def main() -> None:
         build_wall = round(time.perf_counter() - t0, 2)
         idx_rows = cat.read(spark).count()
 
-        # ---- bucketed twin of the index: the sandbox stand-in for the
-        # Iceberg bucket(bh) partition transform. Hive bucketing
-        # (bucketBy + saveAsTable) hash-partitions the stored files by
-        # the join key, so the probe's equi-join plans NO Exchange on
-        # the index side — only the (fixed-size) batch side shuffles,
-        # which is exactly the at-scale claim the plain-parquet rows
-        # above can't demonstrate.
-        tbl = f"imh_idx_bucketed_{n}"
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        (cat.read(spark).write.bucketBy(32, "band", "bh")
-         .sortBy("band", "bh").mode("overwrite").saveAsTable(tbl))
+        # ---- bucketed twin of the index THROUGH THE CATALOG (round 5:
+        # the bucket(n, cols) transform is now native to SnapshotCatalog
+        # — append(bucket_by=...) writes bucket-id-named files and
+        # read() re-exposes the layout to the planner, retiring the
+        # round-4 Hive saveAsTable stand-in). The probe's equi-join
+        # plans NO Exchange on the index side — only the (fixed-size)
+        # batch side shuffles, which is exactly the at-scale claim the
+        # plain-parquet rows above can't demonstrate.
+        idx_root_b = REPO / ".cache" / f"imhdemo_idx_b_{n}"
+        shutil.rmtree(idx_root_b, ignore_errors=True)
+        cat_b = SnapshotCatalog(str(idx_root_b))
+        cat_b.append(cat.read(spark), bucket_by=(32, ["band", "bh"]))
 
         # ---- PROBE the persisted index (best-of-3 + shuffle-byte diff)
         def probe_once(bucketed: bool = False) -> int:
-            index = spark.table(tbl) if bucketed else cat.read(spark)
+            index = (cat_b if bucketed else cat).read(spark)
             sh_batch = word_shingles(batch, "new_id", "text", k=3, hashed=True)
             bands_batch = lsh_band_keys(
                 minhash_signatures(sh_batch, "new_id", N_PERM),
@@ -249,9 +252,8 @@ def main() -> None:
                 ),
             }
         )
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
-    md = ["# Incremental near-dup probe demo (round 4)", "",
+    md = ["# Incremental near-dup probe demo (rounds 4-5)", "",
           "Fixed 12k-doc batch probed against a catalog-persisted MinHash",
           "band index as the SEEN corpus grows 4x (protocol:",
           "BENCH/run_imhdemo.py; xxhash64 fast path, local[16]).", "",
@@ -286,19 +288,25 @@ def main() -> None:
            "text volume.",
            "",
            "The *bucketed* columns re-run the IDENTICAL probe against the",
-           "same index stored Hive-bucketed on the join key",
-           "(`bucketBy(32, band, bh)` + saveAsTable — the sandbox stand-in",
-           "for Iceberg's bucket(bh) partition transform) and measure the",
-           f"same ({bg:.2f}x vs {pg:.2f}x plain). That parity is the",
-           "point: the fixed-size batch band keys get BROADCAST by AQE, so",
-           "the index side plans NO Exchange in either layout (verified on",
-           "the executed plan: BroadcastHashJoin BuildRight over a bare",
-           "index FileScan). The bucket layout is the insurance for the",
-           "regime where a batch is too big to broadcast — plan-guarded in",
-           "tests/test_plan_quality.py — and the in-run assert shows the",
-           "layout never changes answers. At 10^12 docs this is the",
-           "index-build-once / probe-cheap-forever shape: probe cost is",
-           "bounded by batch size + candidate count, not corpus history."]
+           "same index persisted through the CATALOG's own bucket",
+           "transform (round 5: `append(bucket_by=(32, [band, bh]))` —",
+           "SnapshotCatalog's realization of Iceberg's bucket(bh)",
+           "partition transform, retiring round 4's Hive saveAsTable",
+           f"stand-in) and measure the same ({bg:.2f}x vs {pg:.2f}x",
+           "plain). That parity is the point: the fixed-size batch band",
+           "keys get BROADCAST by AQE, so the index side plans NO",
+           "Exchange in either layout (verified on the executed plan:",
+           "BroadcastHashJoin BuildRight over a bare index FileScan).",
+           "The bucket layout is the insurance for the regime where a",
+           "batch is too big to broadcast — it keeps the index side",
+           "exchange-free there too, now plan-guarded THROUGH the",
+           "catalog read path (tests/test_compaction.py::",
+           "test_bucketed_catalog_join_has_no_index_side_exchange and",
+           "the scan_bucketed driver row's in-query assert) — and the",
+           "in-run assert shows the layout never changes answers. At",
+           "10^12 docs this is the index-build-once / probe-cheap-",
+           "forever shape: probe cost is bounded by batch size +",
+           "candidate count, not corpus history."]
     (REPO / "BENCH" / "IMHDEMO.md").write_text("\n".join(md) + "\n")
     print(json.dumps({"imhdemo": rows}))
     spark.stop()

@@ -29,8 +29,16 @@ Behavior:
   * records per-input-file lineage and counter metrics (docs seen,
     langid drops, perplexity drops, patterns matched, bytes scrubbed)
     via df.observe — no second pass over the data;
-  * appends one snapshot: partitioned parquet + manifest with lineage,
-    metrics, and a per-input-file metrics table under <table>/metrics/.
+  * commits through the catalog's WRITE-AUDIT-PUBLISH gate: the batch
+    lands staged (invisible), the audit checks its own observed metrics
+    (null urls; ``--min-keep-ratio``), and only a clean batch is
+    published — a poisoned batch is aborted with its inputs left
+    re-ingestable, never visible table state; batches left pending by a
+    crashed prior run are settled (re-audited from the durable staged
+    rows) at the start of the next run;
+  * the published snapshot: partitioned parquet + manifest with
+    lineage, metrics, and a per-input-file metrics table under
+    <table>/metrics/.
 
 Build the --py-files zip with:  python run_pipeline.py --make-zip scfs.zip
 """
@@ -57,6 +65,106 @@ def make_zip(dest: str) -> None:
     print(f"wrote {dest}")
 
 
+def _audit_metrics(metrics: dict, min_keep_ratio: float) -> list[str]:
+    """The WAP audit: decide from the batch's own observed metrics
+    whether it may become visible table state. Violations:
+      * null_urls — any row lost its key (a corrupted WARC slice);
+      * keep_ratio below ``min_keep_ratio`` — a batch the quality rules
+        near-uniformly reject is far likelier a poisoned input
+        (mojibake, wrong charset, spam mirror) than real signal.
+    An EMPTY batch is NOT a violation: publishing it records the input
+    lineage so --resume won't re-feed the empty files forever."""
+    violations = []
+    null_urls = metrics.get("null_urls") or 0
+    if null_urls:
+        violations.append(f"null_urls={null_urls}")
+    seen = metrics.get("docs_seen") or 0
+    if seen and min_keep_ratio > 0:
+        ratio = (metrics.get("docs_kept") or 0) / seen
+        if ratio < min_keep_ratio:
+            violations.append(f"keep_ratio={ratio:.4f}<{min_keep_ratio}")
+    return violations
+
+
+def _fold_metrics(table: str, manifest: dict, metrics: dict) -> None:
+    """Rewrite a committed manifest with observed metrics folded in —
+    via tmp + os.rename, mirroring SnapshotCatalog.append's commit
+    protocol: a crash mid-rewrite must not leave truncated JSON (which
+    would break every later snapshots()/processed_inputs() read)."""
+    mpath = pathlib.Path(table) / "snapshots" / f"{manifest['sequence']:08d}.json"
+    manifest["metrics"] = {**manifest.get("metrics", {}), **metrics}
+    mtmp = mpath.with_name(f".tmp-metrics-{manifest['snapshot_id']}")
+    mtmp.write_text(json.dumps(manifest, indent=2))
+    os.rename(mtmp, mpath)
+
+
+def _write_lineage(spark, table: str, head: dict) -> None:
+    """Per-input-file lineage metrics table (tiny; one row per input
+    file), re-read from the published snapshot's data dir — cheaper
+    than re-running the pipeline for a second aggregation pass."""
+    import pyspark.sql.functions as F
+
+    mdir = pathlib.Path(table) / "metrics" / head["snapshot_id"]
+    if mdir.exists():
+        return  # settle retry after a crash mid-lineage-write
+    lineage = (
+        spark.read.parquet(head["data_dir"])
+        .groupBy("input_file")
+        .agg(
+            F.count(F.lit(1)).alias("docs_seen"),
+            # keep may be a directory-encoded partition value (string)
+            F.sum((F.col("keep").cast("string") == "true").cast("long")).alias("docs_kept"),
+            F.sum(F.coalesce("bytes_scrubbed", F.lit(0))).alias("bytes_scrubbed"),
+            F.countDistinct("partition_id").alias("n_partitions"),
+        )
+        .withColumn("snapshot_id", F.lit(head["snapshot_id"]))
+    )
+    lineage.coalesce(1).write.mode("errorifexists").parquet(str(mdir))
+
+
+def _settle_pending(spark, cat, table: str, min_keep_ratio: float) -> list[dict]:
+    """Finish WAP decisions a crashed prior run left PENDING: a batch
+    staged but neither published nor aborted would otherwise stay
+    invisible forever while its input lineage blocks --resume from
+    re-feeding the files — silent data loss. The staged rows are
+    durable, so the audit re-runs from THEM (one aggregation scan),
+    then the idempotent publish/abort lands the decision."""
+    import pyspark.sql.functions as F
+
+    settled = []
+    for s in cat.snapshots():
+        if s.get("operation") != "staged":
+            continue
+        if "pipeline_wap" not in s.get("metrics", {}):
+            continue  # someone else's staged batch: not ours to decide
+        df = cat._read_snapshots(spark, [s])
+        m = df.select(
+            F.count(F.lit(1)).alias("docs_seen"),
+            F.sum((F.col("keep").cast("string") == "true").cast("long")).alias("docs_kept"),
+            F.sum((F.col("drop_reason") == "lang_uncertain").cast("long")).alias("langid_drops"),
+            F.sum((F.col("drop_reason") == "high_ppl").cast("long")).alias("ppl_drops"),
+            F.sum((F.col("drop_reason") == "toxic").cast("long")).alias("toxic_drops"),
+            F.sum(F.coalesce("patterns_matched", F.lit(0)).cast("long")).alias("patterns_matched"),
+            F.sum(F.coalesce("bytes_scrubbed", F.lit(0))).alias("bytes_scrubbed"),
+            F.sum(F.col("url").isNull().cast("long")).alias("null_urls"),
+        ).first().asDict()
+        violations = _audit_metrics(m, min_keep_ratio)
+        if violations:
+            cat.abort_staged(s["snapshot_id"])
+            settled.append({
+                "snapshot": s["snapshot_id"], "decision": "aborted",
+                "violations": violations,
+            })
+        else:
+            _fold_metrics(table, s, m)
+            head = cat.publish(s["snapshot_id"])
+            _write_lineage(spark, table, head)
+            settled.append({
+                "snapshot": head["snapshot_id"], "decision": "published",
+            })
+    return settled
+
+
 def run(
     spark,
     input_path: str,
@@ -66,16 +174,28 @@ def run(
     from_html: bool = False,
     partition_by: str = "keep",
     max_files: int = 0,
+    min_keep_ratio: float = 0.0,
 ) -> dict:
-    """One pipeline run -> one snapshot (or up-to-date no-op); returns a
-    status dict. The CLI below is a thin wrapper; tests drive this
-    directly with a shared session."""
+    """One pipeline run -> one PUBLISHED snapshot (or an aborted batch,
+    or an up-to-date no-op); returns a status dict. The CLI below is a
+    thin wrapper; tests drive this directly with a shared session.
+
+    Every commit goes through the catalog's write-audit-publish gate:
+    the batch lands STAGED (invisible), the audit checks the pipeline's
+    own observed metrics (_audit_metrics), and only then publish() makes
+    it table state — a poisoned batch is aborted with its input files
+    left re-ingestable, never visible to any reader. Pending batches
+    from a crashed prior run are settled first (_settle_pending)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Observation
 
     from streamcorpus_filter_spark.catalog import SnapshotCatalog
 
     cat = SnapshotCatalog(table)
+    settled = (
+        _settle_pending(spark, cat, table, min_keep_ratio)
+        if cat.snapshots() else []
+    )
 
     candidates = sorted(spark.read.parquet(input_path).inputFiles())
     todo = candidates
@@ -85,7 +205,10 @@ def run(
     if max_files:
         todo = todo[:max_files]
     if not todo:
-        return {"status": "up-to-date", "snapshot": None}
+        out = {"status": "up-to-date", "snapshot": None}
+        if settled:
+            out["settled"] = settled
+        return out
 
     # lineage BEFORE any repartition/shuffle (input_file_name() is empty
     # after an exchange); partition_id is the post-shuffle task partition.
@@ -108,51 +231,57 @@ def run(
         F.sum((F.col("drop_reason") == "toxic").cast("long")).alias("toxic_drops"),
         F.sum(F.coalesce("patterns_matched", F.lit(0)).cast("long")).alias("patterns_matched"),
         F.sum(F.coalesce("bytes_scrubbed", F.lit(0))).alias("bytes_scrubbed"),
+        F.sum(F.col("url").isNull().cast("long")).alias("null_urls"),
     )
 
     parts = [p for p in partition_by.split(",") if p]
     if "ds" in parts:
         out = out.withColumn("ds", F.to_date("warc_ts"))
 
-    manifest = cat.append(
-        out, input_files=todo, metrics={}, partition_by=parts or None
+    # WRITE-AUDIT-PUBLISH (VERDICT r4 task 5): the batch is fully
+    # written + committed STAGED (invisible to read()/--resume-as-
+    # published), the audit runs on the observation the stage write
+    # itself populated (no second pass), and only a clean batch is
+    # published. Crash windows all converge: before the decision ->
+    # the next run's _settle_pending re-audits the durable staged rows;
+    # after publish but before the lineage side-table -> _write_lineage
+    # is retried idempotently by settle; abort leaves the inputs
+    # re-ingestable (the tombstone carries no lineage).
+    staged = cat.stage(
+        out, input_files=todo, metrics={"pipeline_wap": True},
+        partition_by=parts or None,
     )
     metrics = obs.get
+    violations = _audit_metrics(metrics, min_keep_ratio)
+    if violations:
+        cat.abort_staged(staged["snapshot_id"])
+        result = {
+            "status": "aborted",
+            "snapshot": None,
+            "input_files": len(todo),
+            "violations": violations,
+            "metrics": metrics,
+        }
+        if settled:
+            result["settled"] = settled
+        return result
 
-    # per-input-file lineage metrics table (tiny; one row per input file);
-    # re-read just this snapshot's data dir — cheaper than re-running the
-    # pipeline for a second aggregation pass
-    lineage = (
-        spark.read.parquet(manifest["data_dir"])
-        .groupBy("input_file")
-        .agg(
-            F.count(F.lit(1)).alias("docs_seen"),
-            # keep may be a directory-encoded partition value (string)
-            F.sum((F.col("keep").cast("string") == "true").cast("long")).alias("docs_kept"),
-            F.sum(F.coalesce("bytes_scrubbed", F.lit(0))).alias("bytes_scrubbed"),
-            F.countDistinct("partition_id").alias("n_partitions"),
-        )
-        .withColumn("snapshot_id", F.lit(manifest["snapshot_id"]))
-    )
-    mdir = pathlib.Path(table) / "metrics" / manifest["snapshot_id"]
-    lineage.coalesce(1).write.mode("errorifexists").parquet(str(mdir))
+    # fold observed metrics into the STAGED manifest first: publish
+    # inherits staged metrics into the head, so they survive on the
+    # published manifest without a second rewrite
+    _fold_metrics(table, staged, metrics)
+    head = cat.publish(staged["snapshot_id"])
+    _write_lineage(spark, table, head)
 
-    # fold observed metrics into the committed manifest — via tmp +
-    # os.rename, mirroring SnapshotCatalog.append's commit protocol: a
-    # crash mid-rewrite must not leave truncated JSON (which would break
-    # every later snapshots()/processed_inputs()/--resume read)
-    mpath = pathlib.Path(table) / "snapshots" / f"{manifest['sequence']:08d}.json"
-    manifest["metrics"] = metrics
-    mtmp = mpath.with_name(f".tmp-metrics-{manifest['snapshot_id']}")
-    mtmp.write_text(json.dumps(manifest, indent=2))
-    os.rename(mtmp, mpath)
-
-    return {
+    result = {
         "status": "committed",
-        "snapshot": manifest["snapshot_id"],
+        "snapshot": head["snapshot_id"],
         "input_files": len(todo),
         "metrics": metrics,
     }
+    if settled:
+        result["settled"] = settled
+    return result
 
 
 def main() -> None:
@@ -169,6 +298,12 @@ def main() -> None:
     ap.add_argument("--max-files", type=int, default=0,
                     help="process at most N input files this run "
                          "(crash/kill simulation + controlled backfill)")
+    ap.add_argument("--min-keep-ratio", type=float, default=0.0,
+                    help="WAP audit threshold: abort (stage-then-discard) "
+                         "any batch whose keep ratio falls below this — "
+                         "a near-uniformly-rejected batch is a poisoned "
+                         "input, not signal; 0 disables the ratio check "
+                         "(the null-url audit always runs)")
     ap.add_argument("--make-zip", metavar="DEST",
                     help="write the --py-files zip and exit")
     args = ap.parse_args()
@@ -191,6 +326,7 @@ def main() -> None:
         from_html=args.from_html,
         partition_by=args.partition_by,
         max_files=args.max_files,
+        min_keep_ratio=args.min_keep_ratio,
     )
     print(json.dumps(result))
     spark.stop()

@@ -115,10 +115,26 @@ class SnapshotCatalog:
         input_files: list[str] | None = None,
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
         operation: str = "append",
         expected_parent: str | None = None,
     ) -> dict:
         """Write ``df`` as a new snapshot; returns the manifest dict.
+
+        ``bucket_by=(n, cols)`` writes the snapshot in Iceberg's
+        ``bucket(n, col)`` partition-transform layout (the sandbox
+        realization is Spark/Hive bucketing: files carry the bucket id
+        in their names, and read() re-exposes the layout as a bucketed
+        table so equi-joins on ``cols`` plan NO Exchange on this side).
+        This is the missing piece BENCH/IMHDEMO.md measured: a persisted
+        band/key index that is probed every batch should never re-shuffle
+        — with the transform recorded in the manifest, the probe join
+        shuffles ONLY the day's batch, making probe cost independent of
+        corpus history at 10^12 docs. Spark's repartition hash and its
+        bucket-id hash are the same Murmur3-mod-n, so the pre-write
+        repartition below yields exactly one file per bucket per write.
+        Mutually exclusive with ``partition_by`` (Iceberg composes them;
+        this seam keeps one transform per table for now).
 
         Data files are fully written before the manifest is exposed via
         atomic rename — a crash mid-write leaves a dangling data dir that
@@ -140,12 +156,30 @@ class SnapshotCatalog:
         is Iceberg's serializable commit validation. Plain appends leave
         it None and re-parent freely (their rows conflict with nothing).
         """
+        if partition_by and bucket_by:
+            raise ValueError("pass at most one of partition_by/bucket_by")
         snap_id = uuid.uuid4().hex[:16]
         data_dir = self.root / "data" / snap_id
-        w = df.write.mode("errorifexists")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(str(data_dir))
+        if bucket_by:
+            n, bcols = int(bucket_by[0]), list(bucket_by[1])
+            # the only Spark writer that emits bucket-id file names is
+            # saveAsTable; option("path") makes it EXTERNAL so dropping
+            # the throwaway name right after keeps the files — the
+            # manifest (bucket_spec below) is the durable metadata,
+            # exactly as Iceberg keeps the transform in table metadata,
+            # not in a live engine catalog entry
+            tmp_tbl = f"cat_bwrite_{snap_id}"
+            (df.repartition(n, *bcols)
+             .write.mode("errorifexists")
+             .bucketBy(n, *bcols).sortBy(*bcols)
+             .option("path", str(data_dir))
+             .saveAsTable(tmp_tbl))
+            df.sparkSession.sql(f"DROP TABLE IF EXISTS `{tmp_tbl}`")
+        else:
+            w = df.write.mode("errorifexists")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(str(data_dir))
 
         parent = self.latest_snapshot()
         seq = (parent["sequence"] + 1) if parent else 0
@@ -159,6 +193,10 @@ class SnapshotCatalog:
             "input_files": sorted(input_files or []),
             "metrics": metrics or {},
             "partition_by": partition_by or [],
+            "bucket_spec": (
+                {"n": int(bucket_by[0]), "cols": list(bucket_by[1])}
+                if bucket_by else None
+            ),
             # full table schema: read() passes it as the user-specified
             # schema, which types directory-encoded partition values
             # natively (inference would stringify e.g. booleans) while
@@ -229,6 +267,7 @@ class SnapshotCatalog:
         *,
         target_files: int = 1,
         metrics: dict | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
     ) -> dict:
         """Small-file compaction: rewrite the CURRENT table state into one
         new snapshot of ``target_files`` files (Iceberg's
@@ -249,11 +288,21 @@ class SnapshotCatalog:
         Raises ConcurrentRewriteError if another writer commits between
         reading the state and committing the rewrite (lost-update guard)."""
         base = self.latest_snapshot()
-        current = self.read(spark).coalesce(target_files)
+        if bucket_by:
+            # rewrite-to-spec: accreted appends collapse into ONE
+            # bucket(n, cols) snapshot, restoring the single-snapshot
+            # shape _read_snapshots needs to expose the layout (a union
+            # of bucketed dirs reports no partitioning). This is the
+            # periodic maintenance an ever-growing probe index runs so
+            # every later probe join stays index-side-shuffle-free.
+            current = self.read(spark)
+        else:
+            current = self.read(spark).coalesce(target_files)
         return self.append(
             current,
             metrics=metrics,
             operation="replace",
+            bucket_by=bucket_by,
             expected_parent=base["snapshot_id"] if base else None,
         )
 
@@ -377,6 +426,7 @@ class SnapshotCatalog:
         input_files: list[str] | None = None,
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
     ) -> dict:
         """Write a batch as a STAGED snapshot (Iceberg's write-audit-
         publish / ``wap.id`` workflow): the data is fully written and
@@ -395,6 +445,7 @@ class SnapshotCatalog:
             input_files=input_files,
             metrics=m,
             partition_by=partition_by,
+            bucket_by=bucket_by,
             operation="staged",
         )
 
@@ -475,6 +526,7 @@ class SnapshotCatalog:
             "input_files": s["input_files"],
             "metrics": {**s["metrics"], "published_from": staged_snapshot_id},
             "partition_by": s.get("partition_by", []),
+            "bucket_spec": s.get("bucket_spec"),
             "schema_json": s.get("schema_json"),
         }
         out = self._commit_manifest(manifest)
@@ -1026,6 +1078,7 @@ class SnapshotCatalog:
                 "input_files": b["input_files"],
                 "metrics": m,
                 "partition_by": b.get("partition_by", []),
+                "bucket_spec": b.get("bucket_spec"),
                 "schema_json": b.get("schema_json"),
             }))
         # branch manifests go AFTER the fold commits (a crash in between
@@ -1163,10 +1216,21 @@ class SnapshotCatalog:
         dfs = []
         for s in snaps:
             d = self._data_dir(s)
-            r = spark.read.option("basePath", d)
-            if s.get("schema_json"):
-                r = r.schema(StructType.fromJson(json.loads(s["schema_json"])))
-            df = r.parquet(d)
+            if s.get("bucket_spec") and len(snaps) == 1:
+                # single-snapshot read set in bucket(n, cols) layout:
+                # expose the layout to the planner so equi-joins on the
+                # bucket cols plan no Exchange on this side. A UNION of
+                # bucketed snapshots cannot report a partitioning, so
+                # accreting tables re-establish the single-snapshot
+                # shape with compact(bucket_by=...) — the maintenance
+                # job that IS the Iceberg rewrite-to-spec story.
+                df = self._read_bucketed(spark, s, d)
+            else:
+                r = spark.read.option("basePath", d)
+                if s.get("schema_json"):
+                    r = r.schema(
+                        StructType.fromJson(json.loads(s["schema_json"])))
+                df = r.parquet(d)
             for dl in deletes or ():
                 if dl["sequence"] > s["sequence"]:
                     key = dl["metrics"]["delete_key"]
@@ -1181,6 +1245,41 @@ class SnapshotCatalog:
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
         return out
+
+    def _read_bucketed(
+        self, spark: SparkSession, s: dict, data_dir: str
+    ) -> DataFrame:
+        """Read one bucket(n, cols)-layout snapshot AS a bucketed table.
+
+        Spark only consults bucketing metadata through the session
+        catalog (a bare ``spark.read.parquet`` discards the layout and
+        re-shuffles on every join), so the manifest's bucket_spec is
+        re-materialized as an EXTERNAL table definition over the
+        snapshot's immutable dir — pure metadata, registered once per
+        (session, dir), name keyed by the dir path hash so a relocated
+        table never aliases a stale registration. This is the read-side
+        half of the Iceberg bucket transform: metadata lives in the
+        table format, the engine session just gets told about it."""
+        import hashlib
+
+        from pyspark.sql.types import StructType
+
+        spec = s["bucket_spec"]
+        name = "cat_bucketed_" + hashlib.md5(
+            data_dir.encode()).hexdigest()[:12]
+        if not spark.catalog.tableExists(name):
+            schema = StructType.fromJson(json.loads(s["schema_json"]))
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in schema.fields
+            )
+            cols = ", ".join(f"`{c}`" for c in spec["cols"])
+            spark.sql(
+                f"CREATE TABLE `{name}` ({ddl}) USING parquet "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {int(spec['n'])} BUCKETS LOCATION '{data_dir}'"
+            )
+        return spark.table(name)
 
     def read_incremental(
         self, spark: SparkSession, after_snapshot_id: str, snapshot_id: str | None = None
@@ -1402,6 +1501,30 @@ class SnapshotCatalog:
             m["deleted_records"] = matched
         return self.append(kdf, metrics=m, operation="mor_delete")
 
+    def maintenance_due(self, *, max_delete_files: int = 4) -> dict:
+        """Size/count-triggered compaction recommendation for MoR delete
+        accumulation (the bound on delete_keys' read tax). Every
+        equality-delete manifest in the CURRENT read scope adds one
+        broadcast anti-join to every scan; BENCH/MORDEMO.md shows the
+        write side is ~free, so an unattended writer can cheaply commit
+        thousands of them — this surface is what a table-maintenance
+        scheduler polls to know when the O(delete-files) read tax has
+        outgrown ``max_delete_files`` and a ``compact()`` (which folds
+        the keys into a rewritten state and drops the anti-joins) pays
+        for itself. Metadata-only: resolves the read set, touches no
+        data files."""
+        dels: list[dict] = []
+        chain = self.snapshots()
+        if chain:
+            self._resolve_read_set(chain, deletes=dels)
+        due = len(dels) > max_delete_files
+        return {
+            "pending_delete_files": len(dels),
+            "max_delete_files": max_delete_files,
+            "due": due,
+            "recommendation": "compact()" if due else None,
+        }
+
     def rollback_to(self, snapshot_id: str) -> dict:
         """Restore the table to an earlier snapshot's state (Iceberg's
         ``rollback_to_snapshot``) as a METADATA-ONLY commit: a new head
@@ -1538,6 +1661,7 @@ class SnapshotCatalog:
             "input_files": s["input_files"],
             "metrics": m,
             "partition_by": s.get("partition_by", []),
+            "bucket_spec": s.get("bucket_spec"),
             "schema_json": s.get("schema_json"),
         })
 

@@ -760,3 +760,99 @@ def scan_partitions_metadata(spark: SparkSession, sf: str) -> DataFrame:
         partition_by=["lang"],
     )
     return cat.partitions(spark)
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+@register(
+    "scan_bucketed",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 3
+    """,
+)
+def scan_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg ``bucket(n, col)`` partition transform THROUGH the
+    catalog path (VERDICT r4 task 4) under the value-hash check: the
+    doc store accretes across two plain appends, a
+    ``compact(bucket_by=(8, [doc_id]))`` rewrites it to bucket layout
+    (the rewrite-to-spec maintenance job), and a batch probe then
+    equi-joins against the catalog read. The in-query plan asserts
+    pin the at-scale claim BENCH/IMHDEMO.md could only approximate with
+    a Hive stand-in before: the index side is a bucketed scan with NO
+    Exchange — only the day's batch shuffles, so probe cost is
+    independent of corpus history at 10^12 docs. Broadcast is disabled
+    for the assert: a tiny test probe would otherwise broadcast and
+    bypass the machinery being proven."""
+    import re
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_bkt_"))
+    cat.append(docs.where(F.col("doc_id") % 2 == 0))
+    cat.append(docs.where(F.col("doc_id") % 2 == 1))
+    cat.compact(spark, bucket_by=(8, ["doc_id"]))
+    probe = docs.where("doc_id % 7 = 3").select("doc_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cat.read(spark).join(probe, "doc_id").select(
+            "doc_id", "lang", "n_chars"
+        )
+        plan = _formatted_plan(joined)
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        if n_exchange != 1:  # survives python -O
+            raise AssertionError(
+                f"bucketed probe join planned {n_exchange} Exchanges "
+                "(want probe-side only)"
+            )
+        if "SelectedBucketsCount" not in plan and "Bucketed: true" not in plan:
+            raise AssertionError("catalog read lost the bucket layout")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return joined
+
+
+@register(
+    "sink_maintenance_compact",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
+    """,
+)
+def sink_maintenance_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """The auto-compaction POLICY surface for merge-on-read deletes
+    (VERDICT r4 task 7) under the value-hash check: six O(keys)
+    fast-path delete commits accumulate (count_matched=False — the
+    production shape whose commit never scans the table), at which
+    point ``maintenance_due()`` must flip to due (the read tax is six
+    broadcast anti-joins per scan); ``compact()`` folds the keys into a
+    rewritten state, after which maintenance_due reports zero pending
+    delete files and the read plan carries no anti-join at all
+    (asserted in-query). This is the loop a table-maintenance scheduler
+    runs at 100 TB: poll metadata, compact only when the delete-file
+    count crosses the threshold."""
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="sink_maint_"))
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    cat.append(docs)
+    for mod, part in ((11, 0), (11, 1), (11, 2), (13, 0), (13, 1), (13, 2)):
+        keys = docs.where(
+            (F.col("doc_id") % mod == 0) & (F.col("doc_id") % 3 == part)
+        ).select("doc_id")
+        cat.delete_keys(spark, keys, ["doc_id"], count_matched=False)
+    before = cat.maintenance_due()
+    if not (before["due"] and before["pending_delete_files"] == 6):
+        raise AssertionError(f"maintenance_due should trigger: {before}")
+    if before["recommendation"] != "compact()":
+        raise AssertionError(f"missing recommendation: {before}")
+    cat.compact(spark)
+    after = cat.maintenance_due()
+    if after["due"] or after["pending_delete_files"] != 0:
+        raise AssertionError(f"compact did not clear the tax: {after}")
+    out = cat.read(spark)
+    if "LeftAnti" in _formatted_plan(out):
+        raise AssertionError("post-compact read still plans an anti-join")
+    return out

@@ -1207,10 +1207,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
     # persist the index across TWO snapshots (even/odd doc_id) — the
-    # accrete-per-crawl shape; the probe reads the catalog, not the plan
+    # accrete-per-crawl shape — then rewrite-to-spec: compact into the
+    # Iceberg bucket(8, band, bh) layout, so the probe's equi-join reads
+    # a BUCKETED index through the catalog and plans no index-side
+    # Exchange even when the batch is too large to broadcast (the
+    # maintenance loop a 10^12-doc index runs; layout cannot change
+    # answers — the DuckDB oracle recomputes with no index at all)
     cat = SnapshotCatalog(tempfile.mkdtemp(prefix="imh_index_"))
     cat.append(seen_bands.where(F.col("doc_id") % 2 == 0))
     cat.append(seen_bands.where(F.col("doc_id") % 2 == 1))
+    cat.compact(spark, bucket_by=(8, ["band", "bh"]))
     index = cat.read(spark)
 
     batch_bands = spark.sql(f"""

@@ -1197,3 +1197,180 @@ def test_cherry_pick_refuses_rewrite_folded_append(spark, tmp_path):
     assert m["data_dir"] == good["data_dir"]
     assert sorted(r.doc_id for r in c.read(spark).collect()) == [
         0, 1, 2, 3, 4, 5, 6, 7]
+
+
+# ------------------------------------------------- bucket(n, col) layout
+
+
+def _bkt_idx(spark, n=2000):
+    return spark.range(n).select(
+        (F.col("id") % 16).alias("band"),
+        F.xxhash64("id").alias("bh"),
+        F.col("id").alias("doc_id"),
+    )
+
+
+def test_bucket_append_roundtrip_and_file_layout(spark, tmp_path):
+    """bucket_by writes exactly n bucket-id-named files, read() returns
+    every row, and the manifest records the spec durably."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    m = c.append(_bkt_idx(spark), bucket_by=(8, ["band", "bh"]))
+    assert m["bucket_spec"] == {"n": 8, "cols": ["band", "bh"]}
+    files = [pathlib.Path(f) for f in c.read(spark).inputFiles()]
+    assert len(files) == 8
+    # Spark bucket files carry the bucket id as _NNNNN in the name
+    assert all("_0000" in f.name for f in files)
+    assert c.read(spark).count() == 2000
+    # reopening the catalog fresh (new object, same root) still sees it
+    c2 = SnapshotCatalog(str(tmp_path / "tbl"))
+    assert c2.latest_snapshot()["bucket_spec"]["n"] == 8
+    assert c2.read(spark).count() == 2000
+
+
+def test_bucket_by_excludes_partition_by(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="at most one"):
+        c.append(
+            _bkt_idx(spark, 10),
+            partition_by=["band"],
+            bucket_by=(4, ["bh"]),
+        )
+    assert c.snapshots() == []  # nothing committed, nothing leaked
+    assert not list((pathlib.Path(str(tmp_path / "tbl")) / "data").glob("*"))
+
+
+def test_bucketed_catalog_join_has_no_index_side_exchange(spark, tmp_path):
+    """The at-scale claim through the CATALOG path (not the Hive
+    stand-in): a probe equi-join against a bucket(8, band, bh) snapshot
+    plans an Exchange ONLY on the probe side, and the scan reports the
+    bucket layout."""
+    import re
+
+    from tests.test_plan_quality import plan_of
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_bkt_idx(spark), bucket_by=(8, ["band", "bh"]))
+    probe = spark.range(100).select(
+        (F.col("id") % 16).alias("band"),
+        F.xxhash64("id").alias("bh"),
+        F.col("id").alias("new_id"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = c.read(spark).join(probe, ["band", "bh"])
+        plan = plan_of(joined)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_to_bucket_spec_restores_layout(spark, tmp_path):
+    """Accrete plain appends, then rewrite-to-spec: compact(bucket_by)
+    must produce a single bucketed snapshot whose reads expose the
+    layout, with logical content unchanged."""
+    import re
+
+    from tests.test_plan_quality import plan_of
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    idx = _bkt_idx(spark)
+    c.append(idx.where("doc_id % 2 = 0"))
+    c.append(idx.where("doc_id % 2 = 1"))
+    # pre-compact: multi-snapshot union, no layout to expose
+    m = c.compact(spark, bucket_by=(8, ["band", "bh"]))
+    assert m["operation"] == "replace"
+    assert m["bucket_spec"] == {"n": 8, "cols": ["band", "bh"]}
+    assert c.read(spark).count() == 2000
+    probe = spark.range(50).select(
+        (F.col("id") % 16).alias("band"), F.xxhash64("id").alias("bh"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(c.read(spark).join(probe, ["band", "bh"]))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucket_spec_survives_wap_publish(spark, tmp_path):
+    """stage -> publish of a bucketed batch: publish commits a NEW
+    manifest over the SAME dir, so the spec must ride along or the
+    published index silently loses its layout."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    st = c.stage(_bkt_idx(spark, 400), bucket_by=(4, ["band", "bh"]))
+    head = c.publish(st["snapshot_id"])
+    assert head["bucket_spec"] == {"n": 4, "cols": ["band", "bh"]}
+    assert c.read(spark).count() == 400
+
+
+def test_bucketed_snapshot_in_multi_snapshot_read_set_still_correct(
+    spark, tmp_path
+):
+    """A later plain append demotes the read to the union path — no
+    layout exposed, but every row still present (the bucket files are
+    ordinary parquet underneath)."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_bkt_idx(spark), bucket_by=(8, ["band", "bh"]))
+    c.append(_bkt_idx(spark, 100).withColumn(
+        "doc_id", F.col("doc_id") + 10000))
+    assert c.read(spark).count() == 2100
+
+
+def test_mor_delete_applies_over_bucketed_read(spark, tmp_path):
+    """MoR delete keys anti-join over the bucketed single-snapshot read
+    path exactly as over the plain path."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_bkt_idx(spark, 100), bucket_by=(4, ["band", "bh"]))
+    c.delete_keys(
+        spark,
+        spark.range(10).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+    )
+    assert c.read(spark).count() == 90
+
+
+# ------------------------------------------------- maintenance policy
+
+
+def test_maintenance_due_flips_with_delete_accumulation(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 100))
+    assert c.maintenance_due() == {
+        "pending_delete_files": 0, "max_delete_files": 4,
+        "due": False, "recommendation": None,
+    }
+    for i in range(5):
+        c.delete_keys(
+            spark,
+            spark.range(i * 2, i * 2 + 2).select(
+                F.col("id").alias("doc_id")),
+            ["doc_id"],
+            count_matched=False,
+        )
+    st = c.maintenance_due()
+    assert st["due"] and st["pending_delete_files"] == 5
+    assert st["recommendation"] == "compact()"
+    # threshold is caller-tunable
+    assert not c.maintenance_due(max_delete_files=10)["due"]
+    c.compact(spark)
+    after = c.maintenance_due()
+    assert not after["due"] and after["pending_delete_files"] == 0
+    assert c.read(spark).count() == 90
+    # a rollback past the compact resurrects the read tax — the policy
+    # must see it again (it reflects the CURRENT read scope, not history)
+    # (deletes sit between the pre-compact appends and the rewrite)
+
+
+def test_maintenance_due_counts_only_read_scope_deletes(spark, tmp_path):
+    """Deletes folded by an earlier compact must not count: the policy
+    reflects the CURRENT read tax, not total history."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(_rng(spark, 0, 50))
+    c.delete_keys(spark, _keys(spark, 0), ["doc_id"], count_matched=False)
+    c.compact(spark)
+    c.delete_keys(spark, _keys(spark, 1), ["doc_id"], count_matched=False)
+    st = c.maintenance_due(max_delete_files=0)
+    assert st["pending_delete_files"] == 1 and st["due"]
