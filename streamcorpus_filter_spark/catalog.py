@@ -1626,6 +1626,23 @@ class SnapshotCatalog:
         name = pathlib.Path(s["data_dir"]).name
         snaps = self.snapshots()
         current = self._resolve_read_set(snaps)
+        # finish any crashed racers' heal first: if BOTH of two racing
+        # cherry-picks crashed between commit and self-heal, the read
+        # set still unions the dir twice — collapse before judging
+        # presence, so the next caller un-bricks the table (the same
+        # retry-finishes-the-job rule as publish)
+        crash_dups = [
+            x for x in current
+            if pathlib.Path(x["data_dir"]).name == name
+            and x.get("metrics", {}).get("cherry_picked_from")
+            == snapshot_id
+        ]
+        if len(crash_dups) > 1:
+            survivor = self._collapse_dupes(crash_dups)
+            current = [
+                x for x in current
+                if x not in crash_dups or x is survivor
+            ]
         if any(
             pathlib.Path(x["data_dir"]).name == name for x in current
         ):
@@ -1651,7 +1668,7 @@ class SnapshotCatalog:
             )
         m = dict(s["metrics"])
         m["cherry_picked_from"] = snapshot_id
-        return self._commit_manifest({
+        out = self._commit_manifest({
             "sequence": -1,
             "snapshot_id": uuid.uuid4().hex[:16],
             "parent_id": None,
@@ -1664,6 +1681,25 @@ class SnapshotCatalog:
             "bucket_spec": s.get("bucket_spec"),
             "schema_json": s.get("schema_json"),
         })
+        # self-heal the duplicate-guard's TOCTOU window (same class as
+        # publish's): two concurrent cherry-picks of the same source can
+        # BOTH pass the read-set scan and both commit — read() would
+        # union the dir twice, duplicating every row. Collapse to the
+        # earliest redo IN THE CURRENT READ SET; scoping to the read set
+        # (not all history) is what keeps a legal re-redo alive — after
+        # cherry_pick -> rollback -> cherry_pick the earlier redo is off
+        # the timeline and must survive for time travel.
+        current = self._resolve_read_set(self.snapshots())
+        name = pathlib.Path(out["data_dir"]).name
+        dups = [
+            x for x in current
+            if pathlib.Path(x["data_dir"]).name == name
+            and x.get("metrics", {}).get("cherry_picked_from")
+            == snapshot_id
+        ]
+        if len(dups) > 1:
+            out = self._collapse_dupes(dups)
+        return out
 
     def history(self, spark: SparkSession) -> DataFrame:
         """The table's commit history as a DataFrame — Iceberg's

@@ -198,90 +198,79 @@ from .inventory import (  # noqa: E402,F401
 # --------------------------------------------------------------------------
 
 # Driver run order (the driver iterates queries() in dict order and may
-# time-box out — r01/r02/r03 each attested the first 50). ROTATED for
-# round 4 per VERDICT.md task 1: the ONLY registered queries without a
-# green driver row across r01-r03 are the 5 streaming entries that sat
-# at RUN_ORDER 51+ in round 3 — they run FIRST so CORRECTNESS_r04
-# closes the cumulative record. Next come the queries whose
-# implementation CHANGED this round (de-skewed ql_line_dedup /
-# dedup_substring_spans, the recomputable-oracle sim_ivf_topk rewrite)
-# plus the round-4 additions — all need fresh attestation (the late
-# round-4 batch: kmeans/calibration/cluster-sample/host-rank and the
-# catalog's rollback/branch/MoR-delete/WAP-stream/cherry-pick/
-# partitions rows; every never-attested id sits at position <= 36,
-# inside the ~50-query time-box). Everything
-# after the never-attested block is already green in r01/r02/r03 on
-# unchanged code, so a time-box cuts rows the record already shows
-# green. Anything
-# registered but not listed is appended in registration order
+# time-box out — each round attests roughly the first 50). ROTATED for
+# round 5 per VERDICT r4 task 3: with every registered query cumulatively
+# driver-green across r01-r04, the ordering criterion is now pure
+# STALENESS + CHANGE — the 20 ids whose only green row is r01 run first
+# (four rounds old), then everything round 5 added or touched (the two
+# new catalog queries, plus every query exercising the changed
+# publish/cherry-pick/compact/read paths), then the r02 cohort, r03,
+# r04. After r05 no id's latest attestation is older than two rounds
+# except what the time-box cuts from the (already freshest) tail.
+# Anything registered but not listed is appended in registration order
 # (tests/test_plan_quality.py covers the full registry regardless).
 RUN_ORDER = [
-    # -- tier 1: never driver-attested (RUN_ORDER 51+ in r03's time-box)
-    "stream_session_window", "stream_dedup_watermark",
-    "stream_stateful_counts", "stream_sink_checkpoint",
-    "stream_flagship_filter",
-    # -- tier 2: implementation changed in round 4 (de-skew rewrites,
-    #    any-sf IVF oracle) or newly added in round 4
-    "ql_line_dedup", "dedup_substring_spans", "sim_ivf_topk",
-    "dedup_retention_components", "dedup_incremental_minhash",
-    "sim_ann_persisted", "dedup_url_keep_latest", "dedup_containment",
-    "stream_static_join_dedup", "stream_stream_join", "sink_delete_where",
-    "stream_sink_catalog", "scan_table_history", "scan_warc", "sink_sorted_layout",
-    "scan_partition_evolution", "scan_tagged_release", "sink_wap_publish",
-    "ql_classifier_train", "ql_classifier_eval", "sink_export_shards",
-    "pipeline_incremental_ingest", "emb_kmeans_lloyd",
-    "ql_classifier_calibration", "sink_rollback", "sink_branch_ff",
-    "emb_cluster_balanced_sample", "graph_host_rank", "sink_delete_mor",
-    "stream_sink_wap", "sink_cherry_pick", "scan_partitions_metadata",
-    # de-skew rewrites this round (window -> groupBy shapes): need fresh
-    # driver attestation even though their oracles are unchanged
-    "curation_pipeline", "ql_dedup_exact", "emb_semantic_dedup",
-    "dedup_ngram_jaccard", "dedup_keep_first", "dedup_cluster_components",
-    # -- tier 3: green in r03, one round old
-    "ql_langid", "ql_perplexity", "txt_rolling_fp",
-    "mm_decode_features", "mm_resize", "mm_frame_sample",
-    "dedup_minhash_lsh", "dedup_simhash",
-    "sim_lsh_bucketed", "ql_pipeline_full",
-    "txt_salient_terms", "ql_source_mix", "txt_pack_bins",
-    "txt_char_entropy", "ql_boilerplate_scrub",
-    "ql_url_canonicalize",
-    "dedup_incremental", "dedup_bloom",
-    "lm_train_ngrams",
-    "txt_doc_chunk", "ql_dsir_importance", "emb_pq_quantize",
-    "ql_domain_blocklist",
-    "ql_host_cap", "ql_hash_split", "ql_threshold_sweep",
-    "window_percent_dist",
-    "udf_scalar_pandas", "udf_iter_pandas", "udaf_grouped_agg",
-    "udtf_grouped_map", "udtf_explode", "udf_arrow_batch",
-    "scan_csv", "scan_json", "scan_iceberg_incremental", "sink_compact",
-    "sink_expire_snapshots", "scan_schema_evolution", "sink_upsert",
-    "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
-    # -- tier 4: already driver-green (r01/r02) — cheap JVM relational
-    "scan_parquet", "project_select", "project_derived", "filter_predicate",
-    "str_funcs", "date_funcs", "math_funcs", "array_funcs", "json_funcs",
-    "map_funcs",
-    "sort_orderby", "limit_topk", "set_union_all", "set_intersect",
-    "set_except",
-    "window_row_number", "window_rank_dense", "window_lag_lead",
-    "window_frame_rows", "window_frame_range", "limit_topk_per_group",
-    "agg_groupby_basic", "agg_count_distinct", "agg_approx_distinct",
-    "agg_distinct_rows", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_filtered_pivot", "agg_collect", "agg_percentile", "skew_salted_agg",
-    "skew_aqe_join",
-    "join_hash_inner", "join_broadcast", "join_left_outer", "join_left_semi",
-    "join_left_anti", "join_full_outer", "join_range_theta",
-    "join_asof_interval", "join_cross",
-    "txt_token_count", "txt_fingerprint", "txt_quality_score",
-    "txt_top_ngrams", "txt_contamination", "emb_label_centroid",
-    "ql_classifier_score", "ql_stratified_sample",
+    # -- tier 1: latest green driver row is r01 — four rounds stale
+    #    (VERDICT r4 task 3's list, verbatim)
     "mm_blob_stats", "dedup_exact_hash", "ql_gopher_rules", "ql_keep_drop",
     "ql_repetition", "ql_c4_rules", "ql_metrics_rollup",
-    "dedup_embedding_cosine", "sim_topk_bruteforce",
-    "ql_extract_text", "ql_pii_scrub", "ql_toxicity_scrub",
-    "ql_ac_match", "flagship_filter_agg", "ql_ac_spans",
-    # -- tier 3 side-effecting tail
-    "join_bucketed", "sink_partitioned", "scan_iceberg_snapshot",
-    "sink_metrics", "ql_checkpoint_resume",
+    "dedup_embedding_cosine", "sim_topk_bruteforce", "ql_extract_text",
+    "ql_pii_scrub", "ql_toxicity_scrub", "ql_ac_match",
+    "flagship_filter_agg", "ql_ac_spans", "join_bucketed",
+    "sink_partitioned", "scan_iceberg_snapshot", "sink_metrics",
+    "ql_checkpoint_resume",
+    # -- tier 2: implementation NEW or CHANGED in round 5 (bucket
+    #    transform through the catalog read/compact path, publish TOCTOU
+    #    fix, cherry-pick timeline guard, WAP pipeline commits, pending-
+    #    replay settle) — all need fresh attestation on the new code
+    "scan_bucketed", "sink_maintenance_compact", "stream_sink_wap",
+    "sink_wap_publish", "sink_cherry_pick", "dedup_incremental_minhash",
+    "sink_compact", "sink_delete_mor", "sink_rollback", "sink_branch_ff",
+    "pipeline_incremental_ingest",
+    # -- tier 3: latest green row r02 — three rounds stale
+    "scan_parquet", "project_select", "project_derived", "filter_predicate",
+    "str_funcs", "date_funcs", "math_funcs", "array_funcs", "json_funcs",
+    "map_funcs", "sort_orderby", "limit_topk", "set_union_all",
+    "set_intersect", "set_except", "window_row_number", "window_rank_dense",
+    "window_lag_lead", "window_frame_rows", "window_frame_range",
+    "limit_topk_per_group", "agg_groupby_basic", "agg_count_distinct",
+    "agg_approx_distinct", "agg_distinct_rows", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_filtered_pivot", "agg_collect",
+    "agg_percentile", "skew_salted_agg", "skew_aqe_join", "join_hash_inner",
+    "join_broadcast", "join_left_outer", "join_left_semi", "join_left_anti",
+    "join_full_outer", "join_range_theta", "join_asof_interval",
+    "join_cross", "txt_token_count", "txt_fingerprint", "txt_quality_score",
+    "txt_top_ngrams", "txt_contamination", "emb_label_centroid",
+    "ql_classifier_score", "ql_stratified_sample",
+    # -- tier 4: latest green row r03
+    "dedup_simhash", "sim_lsh_bucketed", "ql_pipeline_full",
+    "txt_salient_terms", "ql_source_mix", "txt_pack_bins",
+    "txt_char_entropy", "ql_boilerplate_scrub", "ql_url_canonicalize",
+    "dedup_incremental", "dedup_bloom", "lm_train_ngrams", "txt_doc_chunk",
+    "ql_dsir_importance", "emb_pq_quantize", "ql_domain_blocklist",
+    "ql_host_cap", "ql_hash_split", "ql_threshold_sweep",
+    "window_percent_dist", "udf_scalar_pandas", "udf_iter_pandas",
+    "udaf_grouped_agg", "udtf_grouped_map", "udtf_explode",
+    "udf_arrow_batch", "scan_csv", "scan_json", "scan_iceberg_incremental",
+    "sink_expire_snapshots", "scan_schema_evolution", "sink_upsert",
+    "stream_source_files", "stream_tumbling_agg", "stream_sliding_session",
+    # -- tier 5: attested green in r04 on unchanged code
+    "stream_session_window", "stream_dedup_watermark",
+    "stream_stateful_counts", "stream_sink_checkpoint",
+    "stream_flagship_filter", "ql_line_dedup", "dedup_substring_spans",
+    "sim_ivf_topk", "dedup_retention_components", "sim_ann_persisted",
+    "dedup_url_keep_latest", "dedup_containment",
+    "stream_static_join_dedup", "stream_stream_join", "sink_delete_where",
+    "stream_sink_catalog", "scan_table_history", "scan_warc",
+    "sink_sorted_layout", "scan_partition_evolution", "scan_tagged_release",
+    "ql_classifier_train", "ql_classifier_eval", "sink_export_shards",
+    "emb_kmeans_lloyd", "ql_classifier_calibration",
+    "emb_cluster_balanced_sample", "graph_host_rank",
+    "scan_partitions_metadata", "curation_pipeline", "ql_dedup_exact",
+    "emb_semantic_dedup", "dedup_ngram_jaccard", "dedup_keep_first",
+    "dedup_cluster_components", "ql_langid", "ql_perplexity",
+    "txt_rolling_fp", "mm_decode_features", "mm_resize", "mm_frame_sample",
+    "dedup_minhash_lsh",
 ]
 
 

@@ -25,6 +25,7 @@ would corrupt silently.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import tempfile
 
@@ -56,14 +57,26 @@ _OPS = st.lists(
         st.tuples(st.just("branch_work"), st.integers(0, 2),
                   st.integers(1, 3),
                   st.sampled_from(["ff", "drop", "leave"])),
+        # CONCURRENT steps (VERDICT r4 task 6): two threads race the
+        # same logical event — publish-vs-publish / publish-vs-abort of
+        # one staged id, or double cherry-pick of one undone append —
+        # and the model asserts the CONVERGED invariants (one head per
+        # staged id, read() never unions a doomed or doubled dir)
+        st.tuples(st.just("race"), st.sampled_from(["pp", "pa", "cc"]),
+                  st.integers(8, 9)),
     ),
     min_size=1,
     max_size=6,
 )
 
 
-@settings(max_examples=16, deadline=None)  # 9 verbs: a few extra draws
-# buy real interaction coverage (rollback x branch x MoR x WAP)
+@settings(
+    max_examples=int(os.environ.get("CAT_MODEL_MAX_EXAMPLES", "16")),
+    deadline=None,
+)  # 10 verbs incl. concurrent races: a few extra draws buy real
+# interaction coverage (rollback x branch x MoR x WAP x race); the
+# suite default stays 16 for wall time — the deep validation run is
+# CAT_MODEL_MAX_EXAMPLES=200 (r05: green, see SURVEY.md §5)
 @given(_OPS)
 def test_catalog_mutations_match_model(spark, ops):
     root = tempfile.mkdtemp(prefix="cat_model_")
@@ -213,6 +226,81 @@ def test_catalog_mutations_match_model(spark, ops):
             cat.stage(spark.createDataFrame(
                 [(start * 10000, version)], "doc_id bigint, v bigint"))
             continue  # pending audit: invisible, no trajectory entry
+        elif op[0] == "race":
+            import threading
+
+            _, kind, start = op
+            if kind in ("pp", "pa"):
+                batch = {
+                    start * 1000000 + version * 10 + j: version
+                    for j in range(2)
+                }
+                batch = {k: v for k, v in batch.items() if k not in model}
+                if not batch:
+                    continue
+                sid = cat.stage(spark.createDataFrame(
+                    sorted(batch.items()), "doc_id bigint, v bigint"
+                ))["snapshot_id"]
+                fns = ([cat.publish, cat.publish] if kind == "pp"
+                       else [cat.publish, cat.abort_staged])
+            else:  # cc: double cherry-pick of a rollback-undone append
+                on = cat._timeline_ids(cat.snapshots())
+                cands = [
+                    (s2, b) for s2, b in append_log
+                    if cat._by_id(s2) is not None and s2 not in on
+                    and not (set(b) & set(model))
+                ]
+                if not cands:
+                    continue
+                sid, batch = cands[0]
+                fns = [cat.cherry_pick, cat.cherry_pick]
+            results, errors = [], []
+            barrier = threading.Barrier(2)
+
+            def racer(fn, _sid=sid):
+                try:
+                    barrier.wait()
+                    results.append(fn(_sid))
+                except ValueError as e:
+                    # losing a race surfaces the documented refusal
+                    # (aborted batch / duplicate redo) — converged
+                    errors.append(e)
+
+            ts = [threading.Thread(target=racer, args=(f,)) for f in fns]
+            [t.start() for t in ts]
+            [t.join() for t in ts]
+            snaps = cat.snapshots()
+            heads = [
+                s for s in snaps
+                if s.get("metrics", {}).get("published_from") == sid
+                or (s.get("metrics", {}).get("cherry_picked_from") == sid
+                    and s["snapshot_id"] in cat._timeline_ids(snaps))
+            ]
+            tombs = [
+                s for s in snaps
+                if s.get("operation") == "abort"
+                and s.get("metrics", {}).get("aborted_from") == sid
+            ]
+            if kind == "pp":
+                assert len(heads) == 1 and not errors, (heads, errors)
+                model.update(batch)
+            elif kind == "pa":
+                # exactly one outcome won; the loser saw the refusal
+                assert (len(heads), len(tombs)) in ((1, 0), (0, 1))
+                if not heads:
+                    continue  # abort won: no visible commit
+                model.update(batch)
+            else:
+                if not results:
+                    continue  # both refused (e.g. dir still present)
+                assert len(heads) == 1, heads
+                model.update(batch)
+            # no staged manifest may linger after the decision
+            assert all(
+                s.get("operation") != "staged"
+                or s["snapshot_id"] != sid
+                for s in snaps
+            )
         else:
             cat.compact(spark, target_files=1)
         trajectory.append(len(model))

@@ -501,3 +501,76 @@ def test_publish_unknown_id_still_raises_keyerror(spark, tmp_path):
     c.append(_df(spark, 0, 2))
     with pytest.raises(KeyError, match="unknown snapshot"):
         c.publish("never-existed-0000")
+
+
+def test_concurrent_cherry_picks_converge_to_one_redo(spark, tmp_path):
+    """Two racers cherry-picking the SAME rollback-undone append: the
+    duplicate guard has the same pre-scan TOCTOU window as publish —
+    both can pass it and both commit a redo referencing the same dir,
+    which read() would union into doubled rows. The post-commit
+    self-heal must collapse to ONE redo regardless of interleaving."""
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    base = c.append(_df(spark, 0, 3))
+    good = c.append(_df(spark, 3, 6))
+    c.rollback_to(base["snapshot_id"])
+
+    results, errors = [], []
+    barrier = threading.Barrier(2)
+
+    def go():
+        try:
+            barrier.wait()
+            results.append(c.cherry_pick(good["snapshot_id"]))
+        except ValueError as e:
+            # a racer that observes the winner's finished redo refuses
+            # with the duplicate guard — a legal, converged outcome
+            errors.append(e)
+
+    ts = [threading.Thread(target=go) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert results, errors  # at least one racer succeeded
+    redos = [
+        s for s in c.snapshots()
+        if s.get("metrics", {}).get("cherry_picked_from")
+        == good["snapshot_id"]
+        and s["snapshot_id"] in c._timeline_ids(c.snapshots())
+    ]
+    assert len(redos) == 1, redos
+    rows = sorted(r.id for r in c.read(spark).collect())
+    assert rows == [0, 1, 2, 3, 4, 5], rows  # batch exactly once
+
+
+def test_cherry_pick_retry_heals_double_crash(spark, tmp_path):
+    """If BOTH racers crash between commit and self-heal, the table
+    reads doubled until the next cherry_pick call — whose pre-scan must
+    finish the collapse (retry-finishes-the-job), then refuse normally."""
+    import time as _time
+    import uuid as _uuid
+
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    base = c.append(_df(spark, 0, 3))
+    good = c.append(_df(spark, 3, 6))
+    c.rollback_to(base["snapshot_id"])
+    m1 = c.cherry_pick(good["snapshot_id"])
+    # simulate the second crashed racer's un-healed duplicate commit
+    c._commit_manifest({
+        "sequence": -1,
+        "snapshot_id": _uuid.uuid4().hex[:16],
+        "parent_id": None,
+        "committed_at": _time.time(),
+        "operation": "append",
+        "data_dir": good["data_dir"],
+        "input_files": good["input_files"],
+        "metrics": {**good["metrics"],
+                    "cherry_picked_from": good["snapshot_id"]},
+        "partition_by": good.get("partition_by", []),
+        "bucket_spec": good.get("bucket_spec"),
+        "schema_json": good.get("schema_json"),
+    })
+    assert c.read(spark).count() == 9  # doubled: the crash artifact
+    with pytest.raises(ValueError, match="already in the current state"):
+        c.cherry_pick(good["snapshot_id"])
+    # the retry healed the duplicate before refusing
+    assert sorted(r.id for r in c.read(spark).collect()) == [0, 1, 2, 3, 4, 5]
+    assert c._by_id(m1["snapshot_id"]) is not None  # earliest survived
