@@ -1374,3 +1374,39 @@ def test_maintenance_due_counts_only_read_scope_deletes(spark, tmp_path):
     c.delete_keys(spark, _keys(spark, 1), ["doc_id"], count_matched=False)
     st = c.maintenance_due(max_delete_files=0)
     assert st["pending_delete_files"] == 1 and st["due"]
+
+
+def test_bucketed_snapshot_metadata_and_gc_edges(spark, tmp_path):
+    """The metadata surfaces and maintenance verbs must treat a
+    bucket-layout snapshot as ordinary table content: partitions()
+    reports it unpartitioned (bucket ids live in file NAMES, not dirs),
+    history() counts its rows from footers, time travel crosses a
+    compact(bucket_by), a ZERO-ROW bucketed append reads back empty
+    (saveAsTable skips empty buckets — no files is a valid layout), and
+    expiry + orphan GC never reclaim a bucketed dir still referenced."""
+    idx = spark.range(100).select(
+        (F.col("id") % 4).alias("band"), F.col("id").alias("doc_id"))
+
+    c = SnapshotCatalog(str(tmp_path / "a"))
+    c.append(idx, bucket_by=(4, ["band"]))
+    parts = c.partitions(spark).collect()
+    assert len(parts) == 1 and parts[0].n_rows == 100
+    assert [r.n_rows for r in c.history(spark).collect()] == [100]
+
+    c2 = SnapshotCatalog(str(tmp_path / "b"))
+    s1 = c2.append(idx.where("doc_id < 50"))
+    c2.append(idx.where("doc_id >= 50"))
+    c2.compact(spark, bucket_by=(4, ["band"]))
+    assert c2.read(spark, s1["snapshot_id"]).count() == 50
+    assert c2.read(spark).count() == 100
+
+    c3 = SnapshotCatalog(str(tmp_path / "c"))
+    c3.append(idx.where("doc_id < 0"), bucket_by=(4, ["band"]))
+    assert c3.read(spark).count() == 0
+
+    c4 = SnapshotCatalog(str(tmp_path / "d"))
+    c4.append(idx, bucket_by=(4, ["band"]))
+    c4.compact(spark)
+    c4.expire_snapshots()
+    c4.remove_orphan_files()
+    assert c4.read(spark).count() == 100
