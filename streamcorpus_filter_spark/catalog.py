@@ -132,9 +132,10 @@ class SnapshotCatalog:
         shuffles ONLY the day's batch, making probe cost independent of
         corpus history at 10^12 docs. Spark's repartition hash and its
         bucket-id hash are the same Murmur3-mod-n, so the pre-write
-        repartition below yields exactly one file per bucket per write.
-        Mutually exclusive with ``partition_by`` (Iceberg composes them;
-        this seam keeps one transform per table for now).
+        repartition below yields exactly one file per bucket per write
+        (per partition dir when composed with ``partition_by``, which
+        maps to Iceberg's multi-transform partition specs — e.g.
+        days(ts) + bucket(n, url)).
 
         Data files are fully written before the manifest is exposed via
         atomic rename — a crash mid-write leaves a dangling data dir that
@@ -156,8 +157,6 @@ class SnapshotCatalog:
         is Iceberg's serializable commit validation. Plain appends leave
         it None and re-parent freely (their rows conflict with nothing).
         """
-        if partition_by and bucket_by:
-            raise ValueError("pass at most one of partition_by/bucket_by")
         snap_id = uuid.uuid4().hex[:16]
         data_dir = self.root / "data" / snap_id
         if bucket_by:
@@ -167,13 +166,18 @@ class SnapshotCatalog:
             # the throwaway name right after keeps the files — the
             # manifest (bucket_spec below) is the durable metadata,
             # exactly as Iceberg keeps the transform in table metadata,
-            # not in a live engine catalog entry
+            # not in a live engine catalog entry. COMPOSES with
+            # partition_by (Iceberg's multi-transform spec: e.g.
+            # days(ts) + bucket(n, url)): partition dirs outside,
+            # bucket-id file names inside each dir.
             tmp_tbl = f"cat_bwrite_{snap_id}"
-            (df.repartition(n, *bcols)
-             .write.mode("errorifexists")
-             .bucketBy(n, *bcols).sortBy(*bcols)
-             .option("path", str(data_dir))
-             .saveAsTable(tmp_tbl))
+            w = (df.repartition(n, *bcols)
+                 .write.mode("errorifexists")
+                 .bucketBy(n, *bcols).sortBy(*bcols)
+                 .option("path", str(data_dir)))
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.saveAsTable(tmp_tbl)
             df.sparkSession.sql(f"DROP TABLE IF EXISTS `{tmp_tbl}`")
         else:
             w = df.write.mode("errorifexists")
@@ -1265,21 +1269,39 @@ class SnapshotCatalog:
         from pyspark.sql.types import StructType
 
         spec = s["bucket_spec"]
+        parts = list(s.get("partition_by") or [])
         name = "cat_bucketed_" + hashlib.md5(
             data_dir.encode()).hexdigest()[:12]
+        schema = StructType.fromJson(json.loads(s["schema_json"]))
         if not spark.catalog.tableExists(name):
-            schema = StructType.fromJson(json.loads(s["schema_json"]))
+            # partition columns must close the DDL column list; the
+            # select below restores the manifest schema's column order
+            fields = sorted(
+                schema.fields, key=lambda f: f.name in parts
+            )
             ddl = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}"
-                for f in schema.fields
+                f"`{f.name}` {f.dataType.simpleString()}" for f in fields
             )
             cols = ", ".join(f"`{c}`" for c in spec["cols"])
+            part_sql = (
+                " PARTITIONED BY (" + ", ".join(
+                    f"`{c}`" for c in parts) + ")"
+                if parts else ""
+            )
             spark.sql(
-                f"CREATE TABLE `{name}` ({ddl}) USING parquet "
+                f"CREATE TABLE `{name}` ({ddl}) USING parquet"
+                f"{part_sql} "
                 f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
                 f"INTO {int(spec['n'])} BUCKETS LOCATION '{data_dir}'"
             )
-        return spark.table(name)
+            if parts:
+                # external partition dirs are not auto-discovered for
+                # catalog tables the way a bare parquet read discovers
+                # them — recover once; the dir is immutable after commit
+                spark.sql(f"MSCK REPAIR TABLE `{name}`")
+        return spark.table(name).select(
+            *[f.name for f in schema.fields]
+        )
 
     def read_incremental(
         self, spark: SparkSession, after_snapshot_id: str, snapshot_id: str | None = None

@@ -1227,16 +1227,49 @@ def test_bucket_append_roundtrip_and_file_layout(spark, tmp_path):
     assert c2.read(spark).count() == 2000
 
 
-def test_bucket_by_excludes_partition_by(spark, tmp_path):
+def test_bucket_composes_with_partition_by(spark, tmp_path):
+    """Iceberg multi-transform spec (e.g. days(ts) + bucket(n, url)):
+    partition dirs outside, bucket-id file names inside each dir;
+    read() restores the manifest schema's column order, the probe join
+    is still index-side-exchange-free, and partition pruning survives
+    the catalog-table registration."""
+    import re
+
+    from tests.test_plan_quality import plan_of
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("ds"),
+        (F.col("id") % 16).alias("band"),
+        F.col("id").alias("doc_id"),
+    )
     c = SnapshotCatalog(str(tmp_path / "tbl"))
-    with pytest.raises(ValueError, match="at most one"):
-        c.append(
-            _bkt_idx(spark, 10),
-            partition_by=["band"],
-            bucket_by=(4, ["bh"]),
-        )
-    assert c.snapshots() == []  # nothing committed, nothing leaked
-    assert not list((pathlib.Path(str(tmp_path / "tbl")) / "data").glob("*"))
+    m = c.append(df, partition_by=["ds"], bucket_by=(4, ["band"]))
+    assert m["partition_by"] == ["ds"]
+    assert m["bucket_spec"] == {"n": 4, "cols": ["band"]}
+    r = c.read(spark)
+    assert r.columns == ["ds", "band", "doc_id"]  # manifest order kept
+    assert r.count() == 1000
+    # partition dirs outside, bucket files inside
+    d = pathlib.Path(c._data_dir(m))
+    assert sorted(p.name for p in d.glob("ds=*")) == [
+        "ds=0", "ds=1", "ds=2"]
+    assert all("_0000" in p.name for p in d.glob("ds=*/*.parquet"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.range(50).select(
+            (F.col("id") % 16).alias("band"), F.col("id").alias("nid"))
+        plan = plan_of(c.read(spark).join(probe, "band"))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # pruning: the ds predicate reaches PartitionFilters, and only the
+    # matching dir's rows are read
+    pruned = c.read(spark).where("ds = '1'")
+    assert pruned.count() == 333
+    pl = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ds" in pl
 
 
 def test_bucketed_catalog_join_has_no_index_side_exchange(spark, tmp_path):
