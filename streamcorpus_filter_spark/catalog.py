@@ -272,6 +272,7 @@ class SnapshotCatalog:
         target_files: int = 1,
         metrics: dict | None = None,
         bucket_by: tuple[int, list[str]] | None = None,
+        partition_by: list[str] | None = None,
     ) -> dict:
         """Small-file compaction: rewrite the CURRENT table state into one
         new snapshot of ``target_files`` files (Iceberg's
@@ -307,6 +308,7 @@ class SnapshotCatalog:
             metrics=metrics,
             operation="replace",
             bucket_by=bucket_by,
+            partition_by=partition_by,
             expected_parent=base["snapshot_id"] if base else None,
         )
 

@@ -794,7 +794,11 @@ def scan_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     cat = SnapshotCatalog(tempfile.mkdtemp(prefix="scan_bkt_"))
     cat.append(docs.where(F.col("doc_id") % 2 == 0))
     cat.append(docs.where(F.col("doc_id") % 2 == 1))
-    cat.compact(spark, bucket_by=(8, ["doc_id"]))
+    # COMPOSED multi-transform spec (Iceberg: e.g. days(ts) +
+    # bucket(n, url)): lang partition dirs outside, doc_id bucket files
+    # inside — one rewrite serves both the pruning predicate and the
+    # probe join.
+    cat.compact(spark, bucket_by=(8, ["doc_id"]), partition_by=["lang"])
     probe = docs.where("doc_id % 7 = 3").select("doc_id")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -813,6 +817,15 @@ def scan_bucketed(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError("catalog read lost the bucket layout")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    pruned_plan = (
+        cat.read(spark).where(F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    if "PartitionFilters: [isnotnull(lang" not in pruned_plan:
+        raise AssertionError(
+            "lang predicate did not reach PartitionFilters through the "
+            "composed bucket+partition catalog read"
+        )
     return joined
 
 
