@@ -127,8 +127,9 @@ def main() -> None:
                 sbytes = {k: after[k] - before[k] for k in after}
         if expected is None:
             expected = hits
-        assert hits == expected, (layout, hits, expected)  # layout is
-        # metadata: it must never change answers
+        if hits != expected:  # layout is metadata: it must never
+            # change answers (explicit raise survives python -O)
+            raise AssertionError((layout, hits, expected))
         out[layout] = {
             "probe_s": round(best, 2),
             "shuffle_write_mb": round(sbytes["shuffleWriteBytes"] / 1e6, 1),

@@ -576,7 +576,17 @@ def emit(out: dict) -> None:
                 del compact[victim]
                 break
         else:
-            break
+            # still too long (e.g. --queries with dozens of ids making
+            # the per-query map itself multi-KB): drop query entries,
+            # slowest-first so the headline signal survives — the full
+            # map is always in BENCH_DETAIL.json and the earlier line
+            qmap = compact.get("queries") or {}
+            if len(qmap) <= 3:
+                break  # nothing left worth cutting; print what we have
+            keep = dict(sorted(
+                qmap.items(), key=lambda kv: -kv[1])[: max(3, len(qmap) // 2)])
+            keep["_truncated"] = len(qmap) - len(keep)
+            compact["queries"] = keep
         line = json.dumps(compact)
     print(line)
 

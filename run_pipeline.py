@@ -65,6 +65,29 @@ def make_zip(dest: str) -> None:
     print(f"wrote {dest}")
 
 
+def _audit_aggs():
+    """The ONE list of audit aggregation expressions, shared by run()'s
+    live Observation and _settle_pending's re-audit of durable staged
+    rows — two hand-maintained copies drifted once (keep cast long vs
+    string-compare), and a drift here means a batch that aborts live
+    could publish when settled after a crash. The string compare works
+    on BOTH shapes: the pre-write boolean column stringifies to
+    'true'/'false', and the read-back partition-encoded value already
+    IS the string."""
+    import pyspark.sql.functions as F
+
+    return [
+        F.count(F.lit(1)).alias("docs_seen"),
+        F.sum((F.col("keep").cast("string") == "true").cast("long")).alias("docs_kept"),
+        F.sum((F.col("drop_reason") == "lang_uncertain").cast("long")).alias("langid_drops"),
+        F.sum((F.col("drop_reason") == "high_ppl").cast("long")).alias("ppl_drops"),
+        F.sum((F.col("drop_reason") == "toxic").cast("long")).alias("toxic_drops"),
+        F.sum(F.coalesce("patterns_matched", F.lit(0)).cast("long")).alias("patterns_matched"),
+        F.sum(F.coalesce("bytes_scrubbed", F.lit(0))).alias("bytes_scrubbed"),
+        F.sum(F.col("url").isNull().cast("long")).alias("null_urls"),
+    ]
+
+
 def _audit_metrics(metrics: dict, min_keep_ratio: float) -> list[str]:
     """The WAP audit: decide from the batch's own observed metrics
     whether it may become visible table state. Violations:
@@ -102,13 +125,22 @@ def _write_lineage(spark, table: str, head: dict) -> None:
     """Per-input-file lineage metrics table (tiny; one row per input
     file), re-read from the published snapshot's data dir — cheaper
     than re-running the pipeline for a second aggregation pass."""
+    import shutil
+
     import pyspark.sql.functions as F
 
     mdir = pathlib.Path(table) / "metrics" / head["snapshot_id"]
-    if mdir.exists():
+    if (mdir / "_SUCCESS").exists():
         return  # settle retry after a crash mid-lineage-write
+    if mdir.exists():
+        # crash mid-write left a partial dir (_temporary, no _SUCCESS):
+        # clear it so the rewrite below can commit cleanly
+        shutil.rmtree(mdir)
+    # resolve the data dir by basename, never the raw recorded path —
+    # a relocated table root must still heal its lineage
+    ddir = pathlib.Path(table) / "data" / pathlib.Path(head["data_dir"]).name
     lineage = (
-        spark.read.parquet(head["data_dir"])
+        spark.read.parquet(str(ddir))
         .groupBy("input_file")
         .agg(
             F.count(F.lit(1)).alias("docs_seen"),
@@ -138,16 +170,7 @@ def _settle_pending(spark, cat, table: str, min_keep_ratio: float) -> list[dict]
         if "pipeline_wap" not in s.get("metrics", {}):
             continue  # someone else's staged batch: not ours to decide
         df = cat._read_snapshots(spark, [s])
-        m = df.select(
-            F.count(F.lit(1)).alias("docs_seen"),
-            F.sum((F.col("keep").cast("string") == "true").cast("long")).alias("docs_kept"),
-            F.sum((F.col("drop_reason") == "lang_uncertain").cast("long")).alias("langid_drops"),
-            F.sum((F.col("drop_reason") == "high_ppl").cast("long")).alias("ppl_drops"),
-            F.sum((F.col("drop_reason") == "toxic").cast("long")).alias("toxic_drops"),
-            F.sum(F.coalesce("patterns_matched", F.lit(0)).cast("long")).alias("patterns_matched"),
-            F.sum(F.coalesce("bytes_scrubbed", F.lit(0))).alias("bytes_scrubbed"),
-            F.sum(F.col("url").isNull().cast("long")).alias("null_urls"),
-        ).first().asDict()
+        m = df.select(*_audit_aggs()).first().asDict()
         violations = _audit_metrics(m, min_keep_ratio)
         if violations:
             cat.abort_staged(s["snapshot_id"])
@@ -161,6 +184,22 @@ def _settle_pending(spark, cat, table: str, min_keep_ratio: float) -> list[dict]
             _write_lineage(spark, table, head)
             settled.append({
                 "snapshot": head["snapshot_id"], "decision": "published",
+            })
+    # heal the publish-then-crash window too: a head whose staged
+    # manifest publish() already unlinked never re-enters the loop
+    # above, so a crash between publish() and _write_lineage() would
+    # otherwise strand the published snapshot without its lineage
+    # side-table forever (_write_lineage is idempotent via _SUCCESS)
+    for s in cat.snapshots():
+        m = s.get("metrics", {})
+        if "pipeline_wap" not in m or "published_from" not in m:
+            continue
+        if not (pathlib.Path(table) / "metrics" / s["snapshot_id"]
+                / "_SUCCESS").exists():
+            _write_lineage(spark, table, s)
+            settled.append({
+                "snapshot": s["snapshot_id"],
+                "decision": "lineage_healed",
             })
     return settled
 
@@ -222,17 +261,7 @@ def run(
     ).withColumn("partition_id", F.spark_partition_id())
 
     obs = Observation()
-    out = out.observe(
-        obs,
-        F.count(F.lit(1)).alias("docs_seen"),
-        F.sum(F.col("keep").cast("long")).alias("docs_kept"),
-        F.sum((F.col("drop_reason") == "lang_uncertain").cast("long")).alias("langid_drops"),
-        F.sum((F.col("drop_reason") == "high_ppl").cast("long")).alias("ppl_drops"),
-        F.sum((F.col("drop_reason") == "toxic").cast("long")).alias("toxic_drops"),
-        F.sum(F.coalesce("patterns_matched", F.lit(0)).cast("long")).alias("patterns_matched"),
-        F.sum(F.coalesce("bytes_scrubbed", F.lit(0))).alias("bytes_scrubbed"),
-        F.sum(F.col("url").isNull().cast("long")).alias("null_urls"),
-    )
+    out = out.observe(obs, *_audit_aggs())
 
     parts = [p for p in partition_by.split(",") if p]
     if "ds" in parts:

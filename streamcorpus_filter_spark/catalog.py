@@ -293,6 +293,12 @@ class SnapshotCatalog:
         Raises ConcurrentRewriteError if another writer commits between
         reading the state and committing the rewrite (lost-update guard)."""
         base = self.latest_snapshot()
+        if bucket_by and target_files != 1:
+            raise ValueError(
+                "bucket_by fixes the file count at n buckets (per "
+                "partition dir); pass at most one of target_files/"
+                "bucket_by"
+            )
         if bucket_by:
             # rewrite-to-spec: accreted appends collapse into ONE
             # bucket(n, cols) snapshot, restoring the single-snapshot
@@ -1290,9 +1296,13 @@ class SnapshotCatalog:
                     f"`{c}`" for c in parts) + ")"
                 if parts else ""
             )
+            # IF NOT EXISTS: two concurrent readers of the same
+            # snapshot may both pass the tableExists pre-check — the
+            # loser's pure read must not throw (the definition both
+            # would write is identical, keyed by the immutable dir)
             spark.sql(
-                f"CREATE TABLE `{name}` ({ddl}) USING parquet"
-                f"{part_sql} "
+                f"CREATE TABLE IF NOT EXISTS `{name}` ({ddl}) "
+                f"USING parquet{part_sql} "
                 f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
                 f"INTO {int(spec['n'])} BUCKETS LOCATION '{data_dir}'"
             )

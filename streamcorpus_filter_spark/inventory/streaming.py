@@ -626,7 +626,9 @@ def stream_sink_wap(spark: SparkSession, sf: str) -> DataFrame:
             pending = cat.stage(bdf, metrics={"stream_batch_id": bid})
             audit = bdf
         else:
-            audit = spark.read.parquet(pending["data_dir"])
+            # resolve by basename, never the raw recorded path — a
+            # relocated table root must still settle its pending batch
+            audit = spark.read.parquet(cat._data_dir(pending))
         if audit.where("n_chars < 0").limit(1).count() == 0:
             cat.publish(pending["snapshot_id"])
         else:

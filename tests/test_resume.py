@@ -347,3 +347,52 @@ def test_crashed_pending_poisoned_batch_settles_to_abort(
     # nothing ever became visible
     with pytest.raises(ValueError, match="no visible snapshots|no snapshots"):
         cat.read(spark)
+
+
+def test_crash_between_publish_and_lineage_is_healed(
+    spark, pages_dir, tmp_path, monkeypatch
+):
+    """Crash AFTER publish() committed the head but BEFORE the lineage
+    side-table landed: the staged manifest is already unlinked, so the
+    staged-scan settle loop never sees this batch — settle must heal it
+    from the published head (which inherits the pipeline_wap marker),
+    including a partially-written metrics dir (crash mid-Spark-write
+    leaves the dir without _SUCCESS)."""
+    import run_pipeline as rp
+
+    table = str(tmp_path / "t")
+
+    real_lineage = rp._write_lineage
+
+    def dying_lineage(spark_, table_, head_):
+        raise RuntimeError("simulated crash after publish")
+
+    monkeypatch.setattr(rp, "_write_lineage", dying_lineage)
+    with pytest.raises(RuntimeError, match="after publish"):
+        run(spark, pages_dir, table, from_html=True, max_files=1)
+    monkeypatch.setattr(rp, "_write_lineage", real_lineage)
+
+    cat = SnapshotCatalog(table)
+    head = cat.latest_snapshot()
+    assert head is not None  # published, visible...
+    mdir = pathlib.Path(table) / "metrics" / head["snapshot_id"]
+    assert not mdir.exists()  # ...but lineage never landed
+
+    # worse: fake a partial write (dir exists, no _SUCCESS) — the heal
+    # must clear and rewrite it, not trust the bare dir
+    mdir.mkdir(parents=True)
+    (mdir / "_temporary").mkdir()
+
+    r = run(spark, pages_dir, table, from_html=True, resume=True,
+            max_files=1)
+    assert {"snapshot": head["snapshot_id"], "decision": "lineage_healed"} \
+        in r.get("settled", [])
+    assert (mdir / "_SUCCESS").exists()
+    lin = spark.read.parquet(str(mdir))
+    assert lin.count() == 1  # one input file in the healed batch
+    assert lin.select("docs_seen").first()[0] == head["metrics"]["docs_seen"]
+    # idempotent: a further run heals nothing more
+    r2 = run(spark, pages_dir, table, from_html=True, resume=True)
+    assert all(
+        s["decision"] != "lineage_healed" for s in r2.get("settled", [])
+    )
