@@ -1299,7 +1299,12 @@ class SnapshotCatalog:
             # IF NOT EXISTS: two concurrent readers of the same
             # snapshot may both pass the tableExists pre-check — the
             # loser's pure read must not throw (the definition both
-            # would write is identical, keyed by the immutable dir)
+            # would write is identical, keyed by the immutable dir).
+            # Registrations live in the SESSION catalog (this repo
+            # never enables a Hive metastore), so they die with the
+            # session; with a persistent metastore a GC hook on
+            # expire/orphan removal would be needed to drop
+            # definitions over deleted dirs.
             spark.sql(
                 f"CREATE TABLE IF NOT EXISTS `{name}` ({ddl}) "
                 f"USING parquet{part_sql} "
