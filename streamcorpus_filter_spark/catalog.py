@@ -293,11 +293,11 @@ class SnapshotCatalog:
         Raises ConcurrentRewriteError if another writer commits between
         reading the state and committing the rewrite (lost-update guard)."""
         base = self.latest_snapshot()
-        if bucket_by and target_files != 1:
+        if target_files != 1 and (bucket_by or partition_by):
             raise ValueError(
-                "bucket_by fixes the file count at n buckets (per "
-                "partition dir); pass at most one of target_files/"
-                "bucket_by"
+                "target_files only applies to the plain rewrite: "
+                "bucket_by fixes the file count at n buckets and "
+                "partition_by at one file per partition dir"
             )
         if bucket_by:
             # rewrite-to-spec: accreted appends collapse into ONE
@@ -307,6 +307,18 @@ class SnapshotCatalog:
             # periodic maintenance an ever-growing probe index runs so
             # every later probe join stays index-side-shuffle-free.
             current = self.read(spark)
+        elif partition_by:
+            # hash all rows of one partition value into one task so the
+            # partitioned write emits ONE file per partition dir —
+            # coalesce here would instead write up to target_files
+            # files in EVERY dir (tasks each hold a slice of every
+            # value), multiplying file count on the maintenance job
+            # meant to reduce it
+            from pyspark.sql import functions as F
+
+            current = self.read(spark).repartition(
+                *[F.col(f"`{c}`") for c in partition_by]
+            )
         else:
             current = self.read(spark).coalesce(target_files)
         return self.append(
@@ -1274,6 +1286,7 @@ class SnapshotCatalog:
         table format, the engine session just gets told about it."""
         import hashlib
 
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         spec = s["bucket_spec"]
@@ -1311,13 +1324,21 @@ class SnapshotCatalog:
                 f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
                 f"INTO {int(spec['n'])} BUCKETS LOCATION '{data_dir}'"
             )
-            if parts:
-                # external partition dirs are not auto-discovered for
-                # catalog tables the way a bare parquet read discovers
-                # them — recover once; the dir is immutable after commit
-                spark.sql(f"MSCK REPAIR TABLE `{name}`")
+        if parts:
+            # external partition dirs are not auto-discovered for
+            # catalog tables the way a bare parquet read discovers
+            # them. Repair on EVERY read, not just first registration:
+            # a reader that raced the creator (tableExists=True before
+            # the creator's repair landed) or a session that crashed
+            # between CREATE and repair would otherwise silently read
+            # zero rows forever. MSCK is idempotent (add-if-missing)
+            # and lists an immutable dir, so the repeat is metadata
+            # cost only.
+            spark.sql(f"MSCK REPAIR TABLE `{name}`")
+        # backticked: plain select() would parse a dotted column name
+        # as struct-field access
         return spark.table(name).select(
-            *[f.name for f in schema.fields]
+            *[F.col(f"`{f.name}`") for f in schema.fields]
         )
 
     def read_incremental(

@@ -1443,3 +1443,67 @@ def test_bucketed_snapshot_metadata_and_gc_edges(spark, tmp_path):
     c4.expire_snapshots()
     c4.remove_orphan_files()
     assert c4.read(spark).count() == 100
+
+
+def test_partitioned_bucket_read_heals_missing_partition_metadata(
+    spark, tmp_path
+):
+    """MSCK runs on EVERY composed read, not only first registration: a
+    reader that raced the creator (or a session that crashed between
+    CREATE and repair) sees the table registered with missing partition
+    metadata and must heal it rather than silently reading fewer rows
+    forever."""
+    import hashlib
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("ds"),
+        (F.col("id") % 8).alias("band"),
+        F.col("id").alias("doc_id"),
+    )
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    m = c.append(df, partition_by=["ds"], bucket_by=(4, ["band"]))
+    assert c.read(spark).count() == 300  # registers + repairs
+    name = "cat_bucketed_" + hashlib.md5(
+        c._data_dir(m).encode()).hexdigest()[:12]
+    # simulate the crashed/raced registration: metadata lost a partition
+    spark.sql(f"ALTER TABLE `{name}` DROP PARTITION (ds='1')")
+    assert spark.table(name).count() == 200  # the wound, unhealed
+    assert c.read(spark).count() == 300  # the catalog path heals it
+
+
+def test_bucketed_read_restores_dotted_column_names(spark, tmp_path):
+    """select() parses dots as struct access; the bucketed read's
+    column-order restore must backtick names to survive a column
+    literally named 'meta.lang'."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("meta.lang"),
+    )
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(df, bucket_by=(4, ["doc_id"]))
+    r = c.read(spark)
+    assert r.columns == ["doc_id", "meta.lang"]
+    assert r.count() == 100
+
+
+def test_compact_partition_by_writes_one_file_per_dir(spark, tmp_path):
+    """compact(partition_by) is a rewrite-to-partition-spec maintenance
+    job: every partition dir must come out as ONE file (coalesce-then-
+    partitionBy would instead write a file per task per dir, multiplying
+    file count); target_files conflicts and is rejected."""
+    df = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("ds"),
+        F.col("id").alias("doc_id"),
+    )
+    c = SnapshotCatalog(str(tmp_path / "tbl"))
+    c.append(df.repartition(8))  # 8-file plain layout
+    c.append(df.repartition(8))
+    with pytest.raises(ValueError, match="target_files only applies"):
+        c.compact(spark, target_files=4, partition_by=["ds"])
+    m = c.compact(spark, partition_by=["ds"])
+    assert m["partition_by"] == ["ds"]
+    d = pathlib.Path(c._data_dir(m))
+    for ds in ("0", "1", "2"):
+        files = list(d.glob(f"ds={ds}/*.parquet"))
+        assert len(files) == 1, (ds, files)
+    assert c.read(spark).count() == 1200
