@@ -121,13 +121,14 @@ def _fold_metrics(table: str, manifest: dict, metrics: dict) -> None:
     os.rename(mtmp, mpath)
 
 
-def _write_lineage(spark, table: str, head: dict) -> None:
+def _write_lineage(spark, cat, table: str, head: dict) -> None:
     """Per-input-file lineage metrics table (tiny; one row per input
     file), re-read from the published snapshot's data dir — cheaper
     than re-running the pipeline for a second aggregation pass."""
     import shutil
 
     import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
 
     mdir = pathlib.Path(table) / "metrics" / head["snapshot_id"]
     if (mdir / "_SUCCESS").exists():
@@ -136,11 +137,14 @@ def _write_lineage(spark, table: str, head: dict) -> None:
         # crash mid-write left a partial dir (_temporary, no _SUCCESS):
         # clear it so the rewrite below can commit cleanly
         shutil.rmtree(mdir)
-    # resolve the data dir by basename, never the raw recorded path —
-    # a relocated table root must still heal its lineage
-    ddir = pathlib.Path(table) / "data" / pathlib.Path(head["data_dir"]).name
+    # the manifest schema makes the read total even for a ZERO-row
+    # published batch (an empty batch publishes by design so --resume
+    # stops re-feeding its files, but Spark writes it as _SUCCESS with
+    # no footers — a schemaless read would throw and, worse, the settle
+    # heal loop would then retry the throw on every later run forever)
+    schema = StructType.fromJson(json.loads(head["schema_json"]))
     lineage = (
-        spark.read.parquet(str(ddir))
+        spark.read.schema(schema).parquet(cat._data_dir(head))
         .groupBy("input_file")
         .agg(
             F.count(F.lit(1)).alias("docs_seen"),
@@ -171,7 +175,13 @@ def _settle_pending(spark, cat, table: str, min_keep_ratio: float) -> list[dict]
             continue  # someone else's staged batch: not ours to decide
         df = cat._read_snapshots(spark, [s])
         m = df.select(*_audit_aggs()).first().asDict()
-        violations = _audit_metrics(m, min_keep_ratio)
+        # re-audit with the threshold the ORIGINAL run staged the batch
+        # under (it rides in the staged metrics): settling with the
+        # NEXT invocation's flag — possibly the 0.0 default of an
+        # unrelated cron entry — would publish a batch the run that
+        # staged it was about to abort
+        ratio = s["metrics"].get("min_keep_ratio", min_keep_ratio)
+        violations = _audit_metrics(m, ratio)
         if violations:
             cat.abort_staged(s["snapshot_id"])
             settled.append({
@@ -181,7 +191,7 @@ def _settle_pending(spark, cat, table: str, min_keep_ratio: float) -> list[dict]
         else:
             _fold_metrics(table, s, m)
             head = cat.publish(s["snapshot_id"])
-            _write_lineage(spark, table, head)
+            _write_lineage(spark, cat, table, head)
             settled.append({
                 "snapshot": head["snapshot_id"], "decision": "published",
             })
@@ -196,7 +206,7 @@ def _settle_pending(spark, cat, table: str, min_keep_ratio: float) -> list[dict]
             continue
         if not (pathlib.Path(table) / "metrics" / s["snapshot_id"]
                 / "_SUCCESS").exists():
-            _write_lineage(spark, table, s)
+            _write_lineage(spark, cat, table, s)
             settled.append({
                 "snapshot": s["snapshot_id"],
                 "decision": "lineage_healed",
@@ -253,8 +263,12 @@ def run(
     # after an exchange); partition_id is the post-shuffle task partition.
     from streamcorpus_filter_spark.operators.quality import run_quality_pipeline
 
-    pages = spark.read.parquet(*todo).withColumn(
-        "input_file", F.input_file_name()
+    # basePath keeps directory-encoded partition columns of the input
+    # table visible in the per-file read (a bare leaf-file read drops
+    # them silently — the column would vanish from every output)
+    pages = (
+        spark.read.option("basePath", input_path).parquet(*todo)
+        .withColumn("input_file", F.input_file_name())
     )
     out = run_quality_pipeline(
         spark, pages, extract_from_html=from_html
@@ -277,13 +291,25 @@ def run(
     # is retried idempotently by settle; abort leaves the inputs
     # re-ingestable (the tombstone carries no lineage).
     staged = cat.stage(
-        out, input_files=todo, metrics={"pipeline_wap": True},
+        out, input_files=todo,
+        # min_keep_ratio rides in the staged manifest so a crash-settle
+        # re-audits under THIS run's threshold, not the next caller's
+        metrics={"pipeline_wap": True, "min_keep_ratio": min_keep_ratio},
         partition_by=parts or None,
     )
     metrics = obs.get
     violations = _audit_metrics(metrics, min_keep_ratio)
     if violations:
-        cat.abort_staged(staged["snapshot_id"])
+        try:
+            cat.abort_staged(staged["snapshot_id"])
+        except ValueError:
+            # a concurrent run's settle pass already re-audited and
+            # DECIDED this batch (the catalog verbs converge races to
+            # one outcome); report the decision instead of crashing —
+            # with the threshold persisted above, its audit verdict
+            # matches ours, so this arm is publish-vs-abort of the
+            # same conclusion racing, not a disagreement
+            pass
         result = {
             "status": "aborted",
             "snapshot": None,
@@ -300,7 +326,7 @@ def run(
     # published manifest without a second rewrite
     _fold_metrics(table, staged, metrics)
     head = cat.publish(staged["snapshot_id"])
-    _write_lineage(spark, table, head)
+    _write_lineage(spark, cat, table, head)
 
     result = {
         "status": "committed",

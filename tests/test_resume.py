@@ -364,7 +364,7 @@ def test_crash_between_publish_and_lineage_is_healed(
 
     real_lineage = rp._write_lineage
 
-    def dying_lineage(spark_, table_, head_):
+    def dying_lineage(spark_, cat_, table_, head_):
         raise RuntimeError("simulated crash after publish")
 
     monkeypatch.setattr(rp, "_write_lineage", dying_lineage)
@@ -396,3 +396,68 @@ def test_crash_between_publish_and_lineage_is_healed(
     assert all(
         s["decision"] != "lineage_healed" for s in r2.get("settled", [])
     )
+
+
+def test_zero_row_batch_publishes_and_lineage_survives(spark, tmp_path):
+    """An EMPTY batch publishes by design (so --resume stops re-feeding
+    its files) — and the lineage write must survive it: Spark writes a
+    zero-row partitioned snapshot as _SUCCESS with no parquet footers,
+    so a schemaless read would throw and the settle heal loop would then
+    retry the throw on every later run, bricking the table."""
+    d = tmp_path / "in"
+    d.mkdir(exist_ok=True)
+    _poison_chunk(str(d / "empty.parquet"), n=0)
+    table = str(tmp_path / "t")
+    r = run(spark, str(d), table, from_html=True)
+    assert r["status"] == "committed"
+    assert r["metrics"]["docs_seen"] == 0
+    cat = SnapshotCatalog(table)
+    head = cat.latest_snapshot()
+    mdir = pathlib.Path(table) / "metrics" / head["snapshot_id"]
+    assert (mdir / "_SUCCESS").exists()
+    assert spark.read.parquet(str(mdir)).count() == 0
+    # and the next run neither re-feeds the file nor re-heals anything
+    r2 = run(spark, str(d), table, from_html=True, resume=True)
+    assert r2["status"] == "up-to-date"
+    assert "settled" not in r2
+
+
+def test_settle_reaudits_with_the_staging_runs_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """The audit threshold rides in the STAGED manifest: a batch staged
+    under --min-keep-ratio 0.2 that crashes pending must still abort
+    when the settling run is launched WITHOUT the flag (the 0.0 default
+    of an unrelated cron entry) — otherwise a poisoned batch publishes."""
+    d = tmp_path / "in"
+    d.mkdir()
+    _poison_chunk(str(d / "poison.parquet"))
+    table = str(tmp_path / "t")
+
+    real_abort = SnapshotCatalog.abort_staged
+
+    def dying_abort(self, sid):
+        raise RuntimeError("simulated crash before the WAP decision")
+
+    monkeypatch.setattr(SnapshotCatalog, "abort_staged", dying_abort)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run(spark, str(d), table, from_html=True, min_keep_ratio=0.2)
+    monkeypatch.setattr(SnapshotCatalog, "abort_staged", real_abort)
+
+    cat = SnapshotCatalog(table)
+    staged = [s for s in cat.snapshots() if s["operation"] == "staged"]
+    assert len(staged) == 1
+    assert staged[0]["metrics"]["min_keep_ratio"] == 0.2
+
+    # settle WITHOUT the flag: the persisted threshold must win — the
+    # crashed batch aborts on ITS OWN staging run's 0.2, not this run's
+    # 0.0 default
+    r = run(spark, str(d), table, from_html=True, resume=True)
+    assert r["settled"][0]["decision"] == "aborted"
+    assert any("keep_ratio" in v for v in r["settled"][0]["violations"])
+    # the same run then re-ingests the (re-ingestable) files as a NEW
+    # batch under its own explicit no-threshold choice — that publish is
+    # the documented semantics of 0.0, a fresh operator decision, not
+    # the crashed batch leaking through
+    assert r["status"] == "committed"
+    assert cat.latest_snapshot()["metrics"]["min_keep_ratio"] == 0.0
