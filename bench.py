@@ -84,7 +84,7 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def pages_parquet(sf: float) -> str:
+def pages_parquet(sf: float, n_override: int | None = None) -> str:
     """Deterministic synthetic pages corpus, cached under .cache/ so the
     generation cost (single-threaded Python) is paid once per (n, seed).
 
@@ -92,7 +92,7 @@ def pages_parquet(sf: float) -> str:
     crawl layout): the scan then parallelizes to any core count with ZERO
     shuffle. Measured: repartition()-ing a single fat file cost more than
     the whole remaining pipeline at 32 cores."""
-    n = max(200, int(PAGES_PER_SF * sf))
+    n = max(200, n_override or int(PAGES_PER_SF * sf))
     files = max(32, n // 375)
     cache = REPO / ".cache"
     cache.mkdir(exist_ok=True)
@@ -268,7 +268,7 @@ def run_level(
     cores: int, sf_dir: str, pages_path: str, selected: list[str],
     repeats: dict[str, int] | None = None,
     ctrl_threads: int | None = None,
-) -> tuple[dict[str, float], float, int | None]:
+) -> tuple[dict[str, float], float, float, int | None]:
     """Run ``selected`` at local[cores]: warm up, then best-of-N walls
     with one CPU-control sample interleaved before every query sample.
     Returns (best walls, best sha256-control wall, best spark-control
@@ -306,6 +306,10 @@ def run_level(
                     spark, warm, extract_from_html=True, min_partitions=cores
                 )
             )
+        # page count resolved HERE so the first timed sample is not
+        # inflated by a count() job (with repeats=2 in the scaling
+        # windows that polluted half of every window's samples)
+        state["n_pages"] = spark.read.parquet(pages_path).count()
 
     times: dict[str, float] = {}
     ctrl: list[float] = []
@@ -343,15 +347,19 @@ def main() -> None:
     args = ap.parse_args()
 
     sf_dir, sf = args.sf_dir, sf_of(args.sf_dir)
-    global PAGES_PER_SF
-    if args.pages:
-        PAGES_PER_SF = int(args.pages / sf)
-    pages_path = pages_parquet(sf)
+    # the requested count goes straight through — round-tripping it via
+    # PAGES_PER_SF float arithmetic could land one page short AND fork
+    # the .cache key for an identical request
+    pages_path = pages_parquet(sf, args.pages or None)
 
-    selected = [s for s in args.queries.split(",") if s] or [
-        "pipeline", "flagship", "dedup_minhash", "sim_topk", "relational",
-        "skew_salted",
-    ]
+    _KNOWN = ("pipeline", "flagship", "dedup_minhash", "sim_topk",
+              "relational", "skew_salted")
+    selected = [s for s in args.queries.split(",") if s] or list(_KNOWN)
+    unknown = [s for s in selected if s not in _KNOWN]
+    if unknown:  # fail BEFORE paying Spark startup + warmup + controls
+        raise SystemExit(
+            f"unknown --queries {unknown}; known: {', '.join(_KNOWN)}"
+        )
 
     times, ctrl_hi, sctrl_hi, n_pages = run_level(
         args.cores, sf_dir, pages_path, selected
@@ -380,7 +388,9 @@ def main() -> None:
         "methodology": (
             "best-of-N wall per query (pipeline/dedup_minhash/sim_topk N=5, "
             "others N=3) after JVM+python-worker warmup; control_wall = best "
-            "of one fixed single-thread sha256 pass per sample; wall_ratios "
+            "of a fixed min(cores,16)-thread sha256 pass per sample (GIL-"
+            "released, measures aggregate host capacity); spark_control_wall "
+            "= a fixed map-only Spark job in the same session; wall_ratios "
             "cancel host steal (sandbox VM swings 2-2.6x on raw walls) — "
             "judge round-over-round on ratios, not walls"
         ),
@@ -434,7 +444,6 @@ def main() -> None:
             rounds.append(r)
         wall_hi = min(r["wall_hi"] for r in rounds)
         wall_lo = min(r["wall_lo"] for r in rounds)
-        hi_times = {"pipeline": wall_hi}
         ctrl_shi = min(r["ctrl_hi"] for r in rounds)
         ctrl_slo = min(r["ctrl_lo"] for r in rounds)
         sctrl_shi = min(r["sctrl_hi"] for r in rounds)
@@ -466,11 +475,12 @@ def main() -> None:
                 {k: round(v, 4) for k, v in r.items()} for r in rounds
             ],
             "protocol": (
-                "same 48k-page corpus, TWO interleaved paired rounds "
-                "(hi,lo, hi,lo): efficiency_raw from best wall per level, "
-                "normalized efficiencies = median of per-round paired "
-                "values — per-launch walls are bimodal on this VM, so one "
-                "launch per level is a coin flip; pair is 4->16 because "
+                f"same {hi_pages}-page corpus, {len(rounds)} interleaved "
+                "paired rounds (hi,lo per round): efficiency_raw from "
+                "best wall per level, normalized efficiencies = median "
+                "of per-round paired values — per-launch walls are "
+                "bimodal on this VM, so one launch per level is a coin "
+                f"flip; pair is {args.scale_lo}->{args.scale_hi} because "
                 "each task slot runs JVM+python threads (2N active "
                 "threads at local[N]) and local[32] oversubscribes the "
                 "32-core box — see module docstring"
@@ -484,8 +494,12 @@ def main() -> None:
         # unchanged code: 1.06x, vs up to 2.6x on raw local[32] walls)
         out["stable_comparators"] = {
             "pipeline_docs_per_sec_local16": round(dps_hi, 1),
+            # median of PER-ROUND paired ratios: min-wall over rounds
+            # divided by min-control over rounds de-pairs a wall from
+            # its own launch's control — the exact failure mode the
+            # per-round protocol exists to avoid
             "pipeline_wall_ratio_local16": round(
-                hi_times["pipeline"] / sctrl_shi, 2
+                med([r["wall_hi"] / r["sctrl_hi"] for r in rounds]), 2
             ),
             "scaling_efficiency": round(eff_ctrl, 3),
             "scaling_efficiency_spark_relative": round(eff_spark_rel, 3),
