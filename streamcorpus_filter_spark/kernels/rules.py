@@ -200,8 +200,15 @@ def c4_line_filter(text: str) -> str:
     """C4-style line-level rewrite (order-preserving, byte-exact): keep a
     line iff it ends (after trailing-space trim — space only, matching
     Spark rtrim / DuckDB rtrim) in terminal punctuation, has at least
-    C4_MIN_LINE_WORDS whitespace-words, and doesn't mention 'javascript'
-    (case-insensitive). Kept lines re-join with '\\n'."""
+    C4_MIN_LINE_WORDS words, and doesn't mention 'javascript'
+    (case-insensitive). Kept lines re-join with '\\n'.
+
+    PINNED quirks every engine twin must mirror exactly: words split on
+    ASCII space ONLY (a tab-separated line counts as one word — NOT the
+    tokenizer's [ \\t\\n\\r\\f\\x0B]+ class; extraction canonicalizes
+    tabs away, but raw documents.text can carry them), and the word
+    count + substring check run on the UNTRIMMED line while only the
+    terminal-punct check sees the trimmed one."""
     kept = []
     for ln in text.split("\n"):
         r = ln.rstrip(" ")

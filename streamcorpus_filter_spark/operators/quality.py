@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import threading
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -53,11 +55,15 @@ def with_structural_signals(
     ``rep_top2gram`` is the last rule, but rows already doomed by a cheap
     rule skip the O(n log n) sort+scan. Use in the pipeline; keep False
     when the raw signal value itself is the query output."""
-    c = F.col(text_col)
+    # NULL text behaves like "" (-> gopher_short), matching the fused
+    # kernel and the row-at-a-time oracle: without the coalesce every
+    # signal goes NULL under ANSI mode, every cascade WHEN evaluates
+    # NULL, and the row silently KEEPS — the opposite verdict
+    c = F.coalesce(F.col(text_col), F.lit(""))
     toks = _tokens(c)
     lns = _lines(c)
-    df = df.withColumn("_toks", toks).withColumn("_lns", lns)
-    toks, lns = F.col("_toks"), F.col("_lns")
+    df = df.withColumn("__sig_toks", toks).withColumn("__sig_lns", lns)
+    toks, lns = F.col("__sig_toks"), F.col("__sig_lns")
     n_words = F.size(toks)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     n_lines = F.greatest(F.size(lns), F.lit(1)).cast("double")
@@ -138,7 +144,9 @@ def with_structural_signals(
         top2_frac = F.when(_pre_top2_reason().isNull(), top2_frac).otherwise(
             F.lit(0.0)
         )
-    return out.withColumn("top2gram_frac", top2_frac).drop("_toks", "_lns")
+    return out.withColumn("top2gram_frac", top2_frac).drop(
+        "__sig_toks", "__sig_lns"
+    )
 
 
 def _pre_top2_reason() -> Column:
@@ -292,18 +300,6 @@ def fused_pipeline_udf(bc_langid, bc_lm, bc_ent_ac, bc_tox_ac, from_html: bool):
     return fn
 
 
-def extract_text_udf():
-    """html:binary -> extracted text, as a scalar pandas UDF (only the html
-    column crosses the fence; the canonical kernel keeps the byte-identical
-    invariant)."""
-
-    @F.pandas_udf("string")
-    def fn(html: pd.Series) -> pd.Series:
-        return pd.Series([extract_text(h) for h in html], index=html.index)
-
-    return fn
-
-
 def extract_fn(html_col: str = "html", out_col: str = "text"):
     """mapInPandas extraction stage — the canonical kernel mapped over the
     batch (regex work is C; the invariant demands this exact function)."""
@@ -318,31 +314,42 @@ def extract_fn(html_col: str = "html", out_col: str = "text"):
 # ------------------------------------------------------------- the pipeline
 
 _BC_CACHE: dict[str, object] = {}
+_BC_LOCK = threading.Lock()
 
 
 def _broadcast_models(spark: SparkSession):
     """Broadcast the four model artifacts once per Spark application —
     repeated pipeline invocations reuse the same broadcast ids instead of
     re-pickling MBs of model arrays per call (and per-worker lazy
-    deserialization stays warm, since the broadcast id is what keys it)."""
+    deserialization stays warm, since the broadcast id is what keys it).
+    Lock + destroy: two threads building pipelines on a fresh app must
+    not double-broadcast the several-MB arrays, and a process that
+    restarts sessions (test suites, notebooks) must not accumulate dead
+    apps' driver-side broadcast blocks."""
     key = spark.sparkContext.applicationId
-    if _BC_CACHE.get("app") != key:
-        from ..models import (
-            default_charlm,
-            default_langid,
-            pages_automaton,
-            toxic_automaton,
-        )
+    with _BC_LOCK:
+        if _BC_CACHE.get("app") != key:
+            from ..models import (
+                default_charlm,
+                default_langid,
+                pages_automaton,
+                toxic_automaton,
+            )
 
-        sc = spark.sparkContext
-        _BC_CACHE["app"] = key
-        _BC_CACHE["bcs"] = (
-            sc.broadcast(default_langid()),
-            sc.broadcast(default_charlm()),
-            sc.broadcast(pages_automaton()),
-            sc.broadcast(toxic_automaton()),
-        )
-    return _BC_CACHE["bcs"]
+            for old in _BC_CACHE.get("bcs", ()):
+                try:
+                    old.destroy()
+                except Exception:
+                    pass  # prior app's context is already gone
+            sc = spark.sparkContext
+            _BC_CACHE["app"] = key
+            _BC_CACHE["bcs"] = (
+                sc.broadcast(default_langid()),
+                sc.broadcast(default_charlm()),
+                sc.broadcast(pages_automaton()),
+                sc.broadcast(toxic_automaton()),
+            )
+        return _BC_CACHE["bcs"]
 
 
 def run_quality_pipeline(

@@ -125,3 +125,53 @@ def test_drop_reason_distribution_sane(oracle_results):
     # the generator plants every major class; assert the big ones fired
     for expected in ["gopher_short", "gopher_bullet", "c4_lorem", "high_ppl", "rep_dup_lines", "toxic"]:
         assert reasons.get(expected, 0) > 0, (expected, reasons)
+
+
+def test_spark_native_cascade_matches_kernel(spark, pages):
+    """The DataFrame-native structural cascade (with_structural_signals +
+    structural_reason — built-ins only, no Python fence) must agree with
+    kernels/rules.structural_drop_reason row-for-row, INCLUDING NULL text
+    (under ANSI mode a NULL text once made every cascade WHEN evaluate
+    NULL and the row silently KEEP — the opposite of the kernel's
+    gopher_short), and lazy_top2 must not change any verdict."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from streamcorpus_filter_spark.kernels import rules
+    from streamcorpus_filter_spark.kernels.extract import extract_text
+    from streamcorpus_filter_spark.operators.quality import (
+        structural_reason,
+        with_structural_signals,
+    )
+
+    texts = [extract_text(h) for h in pages["html"][:400]]
+    texts.append(None)  # the ANSI NULL regression
+    texts.append("")
+    want = [
+        rules.structural_drop_reason(
+            rules.structural_signals(t if t is not None else "")
+        )
+        for t in texts
+    ]
+    from pyspark.sql.types import LongType
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        StructType([
+            StructField("i", LongType()),
+            StructField("text", StringType()),
+        ]),
+    )
+    for lazy in (False, True):
+        got = (
+            with_structural_signals(df, lazy_top2=lazy)
+            .withColumn("reason", structural_reason())
+            .select("i", "reason")
+            .collect()
+        )
+        by_i = {r["i"]: r["reason"] for r in got}
+        mismatches = [
+            (i, by_i[i], want[i]) for i in range(len(texts))
+            if by_i[i] != want[i]
+        ]
+        assert not mismatches, (lazy, mismatches[:5])
