@@ -386,6 +386,20 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     Value-checked against the recursive-CTE FNV recomputation in
     _simhash_oracle."""
     t = _twinned(spark, sf)
+    # token-less docs (NULL/empty/whitespace-only text) carry no signal:
+    # the oracle's words CTE yields no sig row for them, so they must
+    # not enter banding here either — otherwise every such doc gets
+    # simhash 0 and they all spuriously pair with each other at
+    # hamming 0 (same pinned ASCII token class as the kernel/oracle)
+    t = t.filter(
+        F.size(
+            F.filter(
+                F.split(F.coalesce("text", F.lit("")), "[ \t\n\r\f\x0B]+"),
+                lambda x: x != "",
+            )
+        )
+        > 0
+    )
     sh = t.mapInPandas(simhash_fn("doc_id", "text"), schema="doc_id bigint, simhash bigint")
     banded = sh.select(
         "doc_id",
@@ -561,6 +575,8 @@ def sim_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         P = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.stack([]) raises; empty Arrow batches are legal
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             rows = {"vec_id": pdf["vec_id"]}
             for r in range(P.shape[0]):
@@ -803,6 +819,8 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = bc.value  # (K, dim) int64
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.stack([]) raises; empty Arrow batches are legal
             Q = _ivf_quant(
                 np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             )
@@ -814,6 +832,8 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.stack([]) raises; empty Arrow batches are legal
             Q = _ivf_quant(
                 np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             )
@@ -974,6 +994,8 @@ def sim_ann_persisted(spark: SparkSession, sf: str) -> DataFrame:
         C = bc.value           # (K, 64) int64 IVF centroids
         CB = bc_pq.value       # (M, K, SUB) int64 PQ codebook
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.stack([]) raises; empty Arrow batches are legal
             Q = _ivf_quant(
                 np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             )
@@ -1209,9 +1231,13 @@ _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORD_SET)) + "]"
     "txt_quality_score",
     f"""
     WITH s AS (
+      -- coalesce: NULL text scores like '' on BOTH engines (the Spark
+      -- side's with_structural_signals coalesces since the NULL-parity
+      -- fix; without this the SQL's least(NULL, 1.0) = 1.0 would score
+      -- a NULL doc PERFECT while Spark scores it 0)
       SELECT doc_id,
-             len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> '')) AS n_words,
-             len(list_filter(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> ''),
+             len(list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\r\f\x0B]+'), w -> w <> '')) AS n_words,
+             len(list_filter(list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\r\f\x0B]+'), w -> w <> ''),
                  w -> list_contains({_STOPLIST_SQL}, lower(w)))) AS n_stop
       FROM documents
     )

@@ -206,8 +206,12 @@ def ql_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("bgs").cast("long").alias("n_bigrams"),
-            F.expr(logw_sql).alias("dsir_logw_micro"),
-            (F.expr(logw_sql) > 0).alias("selected"),
+            # coalesce mirrors the oracle's coalesce(list_sum(...), 0):
+            # NULL text must yield logw 0 / selected false on BOTH sides
+            F.coalesce(F.expr(logw_sql), F.lit(0).cast("long"))
+            .alias("dsir_logw_micro"),
+            (F.coalesce(F.expr(logw_sql), F.lit(0).cast("long")) > 0)
+            .alias("selected"),
         )
     )
 

@@ -284,3 +284,44 @@ def test_containment_catches_twins_jaccard_misses(spark, reg):
     for r in cont:
         assert r.containment >= 0.9
 
+
+
+def test_null_and_empty_text_oracle_parity(spark, tmp_path):
+    """The driver fixtures carry no NULL/empty text, so this class of
+    engine divergence is invisible to the sweep: run the three queries
+    whose NULL handling was aligned (txt_quality_score — Spark scored 0
+    while SQL's least(NULL,1.0) scored a NULL doc PERFECT;
+    ql_dsir_importance — NULL logw vs the oracle's coalesce 0;
+    dedup_simhash — token-less docs all paired at hamming 0 while the
+    oracle emitted nothing) against DuckDB on a corpus that HAS those
+    rows."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = base.columns
+    pdf = base.limit(40).toPandas()
+    for i, t in ((0, None), (1, ""), (2, " \t\n ")):
+        pdf.loc[i, "text"] = t
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf[cols]), str(d / "documents.parquet"))
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    for name in ("txt_quality_score", "ql_dsir_importance", "dedup_simhash"):
+        got = qs[name](spark, str(d)).toPandas()
+        want = con.execute(os_[name]).df()
+        g = got.reindex(sorted(got.columns), axis=1).sort_values(
+            by=sorted(got.columns), ignore_index=True)
+        w = want.reindex(sorted(want.columns), axis=1).sort_values(
+            by=sorted(want.columns), ignore_index=True)
+        assert g.shape == w.shape, (name, g.shape, w.shape)
+        for c in g.columns:
+            assert (g[c].astype(str) == w[c].astype(str)).all(), (name, c)
