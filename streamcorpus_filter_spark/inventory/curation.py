@@ -74,7 +74,7 @@ def _clf_case_sql() -> str:
     f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '') AS toks
+             list_filter(string_split_regex(lower(coalesce(text, '')), '{_WS}'), x -> x <> '') AS toks
       FROM documents
     )
     SELECT doc_id,
@@ -100,7 +100,7 @@ def ql_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
         *[F.lit(x) for w, v in sorted(CLF_VOCAB.items()) for x in (w, v)]
     )
     logit = F.aggregate(
-        F.transform(_toks(), lambda w: F.coalesce(vocab[w], F.lit(0))),
+        F.transform(_toks(F.coalesce("text", F.lit(""))), lambda w: F.coalesce(vocab[w], F.lit(0))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -829,7 +829,7 @@ _BP_DF = 3
     f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '') AS toks
+             list_filter(string_split_regex(lower(coalesce(text, '')), '{_WS}'), x -> x <> '') AS toks
       FROM documents
     ),
     g AS (
@@ -885,7 +885,7 @@ def ql_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
     data. Reassembly is a JVM higher-order filter on (token, index) —
     no Python anywhere."""
     d = load(spark, sf, "documents")
-    toks = _toks()
+    toks = _toks(F.coalesce("text", F.lit("")))
     n = F.size(toks)
     grams = (
         d.filter(n >= _BP_GRAM)
@@ -951,7 +951,7 @@ SWEEP_GRID = (-3000, -2000, -1000, 0, 1000, 2000, 3000)
     f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '') AS toks
+             list_filter(string_split_regex(lower(coalesce(text, '')), '{_WS}'), x -> x <> '') AS toks
       FROM documents
     ),
     s AS (
@@ -992,7 +992,7 @@ def ql_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
         *[F.lit(x) for w, v in sorted(CLF_VOCAB.items()) for x in (w, v)]
     )
     logit = F.aggregate(
-        F.transform(_toks(), lambda w: F.coalesce(vocab[w], F.lit(0))),
+        F.transform(_toks(F.coalesce("text", F.lit(""))), lambda w: F.coalesce(vocab[w], F.lit(0))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

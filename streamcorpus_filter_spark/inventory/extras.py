@@ -419,7 +419,7 @@ def warc_record(doc_id_col: str, text_col: str):
               + "http://corp.example.com/doc/"),
         F.col(doc_id_col).cast("string"),
         F.lit("\nContent-Type: text/plain\n\n"),
-        F.col(text_col),
+        F.coalesce(text_col, F.lit("")),  # NULL text == '' payload
     )
 
 
@@ -435,9 +435,17 @@ def _staged(spark: SparkSession, sf: str, fmt: str) -> str:
             (docs.select(warc_record("doc_id", "text").alias("value"))
              .write.mode("overwrite").text(d))
         elif fmt == "csv":
-            docs.write.mode("overwrite").option("header", "true").option(
-                "compression", "gzip"
-            ).csv(d)
+            # nullValue sentinel: the default encodes NULL as the same
+            # empty field the reader can't tell from ''. The two
+            # whitespace options default TRUE on the WRITER (they trim
+            # a whitespace-only text value to '' in the file — reader
+            # defaults are false, so the corruption is write-side)
+            (docs.write.mode("overwrite").option("header", "true")
+             .option("compression", "gzip")
+             .option("nullValue", "\\N")
+             .option("ignoreLeadingWhiteSpace", "false")
+             .option("ignoreTrailingWhiteSpace", "false")
+             .csv(d))
         else:
             docs.write.mode("overwrite").json(d)
         _SRC_CACHE[key] = d
@@ -461,6 +469,7 @@ def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
         spark.read.schema(_DOCS_SCHEMA)
         .option("header", "true")
         .option("multiLine", "true")
+        .option("nullValue", "\\N")
         .csv(_staged(spark, sf, "csv"))
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
@@ -482,7 +491,7 @@ def scan_json(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "scan_warc",
-    "SELECT doc_id, text FROM documents",
+    "SELECT doc_id, coalesce(text, '') AS text FROM documents",
 )
 def scan_warc(spark: SparkSession, sf: str) -> DataFrame:
     """WARC-style multiline record ingest — the Common-Crawl shape: each

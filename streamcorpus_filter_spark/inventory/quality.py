@@ -56,6 +56,16 @@ _GOPHER_KEEP = (
 )
 
 
+# NULL text == '' on BOTH engines (the kernel contract): oracles whose
+# Spark twin coalesces NULL text read documents through this wrapper —
+# bare `FROM documents` would NULL-propagate (least(NULL,1)=1, vanished
+# unnest rows, NULL || concat) and diverge on any corpus with NULL text
+_DOCS_COALESCED = (
+    "(SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) "
+    "documents"
+)
+
+
 def _signals(spark: SparkSession, sf: str) -> DataFrame:
     return with_structural_signals(load(spark, sf, "documents"))
 
@@ -69,7 +79,7 @@ def _signals(spark: SparkSession, sf: str) -> DataFrame:
            round({_ALPHA}, 6) AS alpha_frac,
            CAST({_STOPS} AS BIGINT) AS n_stopwords,
            {_GOPHER_KEEP} AS gopher_keep
-    FROM documents
+    FROM {_DOCS_COALESCED}
     """,
 )
 def ql_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
@@ -111,7 +121,7 @@ def ql_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
              WHEN {_STOPS} < {rules.MIN_STOPWORDS} THEN false
              ELSE true
            END AS keep
-    FROM documents
+    FROM {_DOCS_COALESCED}
     """,
 )
 def ql_keep_drop(spark: SparkSession, sf: str) -> DataFrame:
@@ -206,7 +216,7 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
       SELECT doc_id,
              text || ' contact ' || source || '@corp.example.com or '
                   || source || '.admin@mail.example.org' AS orig
-      FROM documents
+      FROM {_DOCS_COALESCED}
     )
     SELECT doc_id,
            regexp_replace(orig, '{_EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed,
@@ -239,7 +249,7 @@ def ql_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select(
         "doc_id",
         F.concat(
-            F.col("text"), F.lit(" contact "), F.col("source"),
+            F.coalesce("text", F.lit("")), F.lit(" contact "), F.col("source"),
             F.lit("@corp.example.com or "), F.col("source"),
             F.lit(".admin@mail.example.org"),
         ).alias("orig"),
@@ -251,11 +261,11 @@ def ql_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ql_toxicity_scrub",
-    """
+    f"""
     SELECT doc_id,
            CASE WHEN doc_id % 7 = 0 THEN text || ' <TOX>' ELSE text END AS masked,
            CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS tox_hits
-    FROM documents
+    FROM {_DOCS_COALESCED}
     """,
 )
 def ql_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
@@ -289,8 +299,11 @@ def ql_toxicity_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents").select(
         "doc_id",
-        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" blortug")))
-        .otherwise(F.col("text"))
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" blortug")),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
         .alias("orig"),
     )
     return d.mapInPandas(fn, schema="doc_id bigint, masked string, tox_hits int")
@@ -365,7 +378,7 @@ def ql_metrics_rollup(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id,
              replace(replace(text, ' slow ', ' javascript '),
                      ' the ', '.' || chr(10)) AS multi
-      FROM documents
+      FROM {_DOCS_COALESCED}
     )
     SELECT doc_id,
            coalesce(array_to_string(
@@ -386,7 +399,7 @@ def ql_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
     both sides) into punctuated lines with planted 'javascript' hits so
     the filter has real keep/drop work."""
     multi = F.replace(
-        F.replace(F.col("text"), F.lit(" slow "), F.lit(" javascript ")),
+        F.replace(F.coalesce("text", F.lit("")), F.lit(" slow "), F.lit(" javascript ")),
         F.lit(" the "),
         F.lit(".\n"),
     )
@@ -452,6 +465,12 @@ def _langid_oracle() -> str:
     from ..models import default_langid
 
     m = default_langid()
+    # the gram-less default (NULL/empty text): byte CTEs unnest to zero
+    # rows so such docs vanish from every aggregate — the kernel instead
+    # scores b"" (uniform prior argmax); bake its output as the LEFT
+    # JOIN fallback so the oracle emits one row per doc like Spark does
+    _p, _c = m.score_batch([b""])
+    empty_lang, empty_conf = m.langs[int(_p[0])], round(float(_c[0]), 6)
     w_rows, base_rows = [], []
     for li, lang in enumerate(m.langs):
         row = m.logp[li]
@@ -491,9 +510,14 @@ def _langid_oracle() -> str:
                AS rn
       FROM score
     )
-    SELECT doc_id, l AS lang_pred,
-           round(e / (sum(e) OVER (PARTITION BY doc_id)), 6) AS lang_conf
-    FROM soft QUALIFY rn = 1
+    SELECT d.doc_id,
+           coalesce(o.lang_pred, '{empty_lang}') AS lang_pred,
+           coalesce(o.lang_conf, {empty_conf}) AS lang_conf
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, l AS lang_pred,
+             round(e / (sum(e) OVER (PARTITION BY doc_id)), 6) AS lang_conf
+      FROM soft QUALIFY rn = 1
+    ) o ON o.doc_id = d.doc_id
     """
 
 
@@ -552,7 +576,10 @@ def _perplexity_oracle() -> str:
              - ln(coalesce(c2.c, 0) + {ALPHA * 256!r}) AS ll
       FROM h LEFT JOIN c3 ON c3.h = h.h3 LEFT JOIN c2 ON c2.h = h.h2
     )
-    SELECT doc_id, round(exp(-avg(ll)), 6) AS ppl FROM ll GROUP BY doc_id
+    SELECT d.doc_id, coalesce(o.ppl, 0.0) AS ppl
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, round(exp(-avg(ll)), 6) AS ppl FROM ll GROUP BY doc_id
+    ) o ON o.doc_id = d.doc_id
     """
 
 

@@ -30,7 +30,7 @@ from ..queries import load, register
     "udf_scalar_pandas",
     """
     SELECT doc_id,
-           length(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS folded_len
+           length(regexp_replace(coalesce(text, ''), '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS folded_len
     FROM documents
     """,
 )
@@ -44,8 +44,13 @@ def udf_scalar_pandas(spark: SparkSession, sf: str) -> DataFrame:
 
     @F.pandas_udf("int")
     def folded_len(s: pd.Series) -> pd.Series:
+        # NULL text == '' (kernel contract; .str ops propagate NaN and
+        # the astype would throw on it)
         return (
-            s.str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.len().astype("int32")
+            s.fillna("")
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.len()
+            .astype("int32")
         )
 
     return load(spark, sf, "documents").select(
@@ -57,7 +62,7 @@ def udf_scalar_pandas(spark: SparkSession, sf: str) -> DataFrame:
     "udf_iter_pandas",
     """
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), w -> w <> ''))
+           CAST(len(list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\r\f\x0B]+'), w -> w <> ''))
                 AS BIGINT) AS n_words
     FROM documents
     """,
@@ -77,7 +82,11 @@ def udf_iter_pandas(spark: SparkSession, sf: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_words": pd.array(
-                        [sum(1 for w in split(t) if w) for t in pdf["text"]],
+                        [
+                            sum(1 for w in split(t) if w)
+                            if isinstance(t, str) else 0
+                            for t in pdf["text"]
+                        ],
                         dtype="int64",
                     ),
                 }

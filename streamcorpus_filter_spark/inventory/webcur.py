@@ -394,7 +394,8 @@ _BLOOM_POS_DUCK = ", ".join(
 @register(
     "dedup_bloom",
     f"""
-    WITH x AS (SELECT doc_id, {_BLOOM_X_DUCK} AS x FROM documents),
+    WITH d0 AS (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents),
+    x AS (SELECT doc_id, {_BLOOM_X_DUCK} AS x FROM d0),
     pos AS (SELECT doc_id, {_BLOOM_POS_DUCK} FROM x),
     bits AS (
       SELECT DISTINCT u.p FROM pos, unnest([p0, p1, p2]) u(p)
@@ -407,10 +408,10 @@ _BLOOM_POS_DUCK = ", ".join(
              AND (p2 IN (SELECT p FROM bits)) AS maybe_seen
       FROM pos
     ),
-    seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0)
+    seen AS (SELECT DISTINCT md5(text) AS h FROM d0 WHERE doc_id % 2 = 0)
     SELECT d.doc_id, probe.maybe_seen,
            md5(d.text) IN (SELECT h FROM seen) AS is_seen
-    FROM documents d JOIN probe ON probe.doc_id = d.doc_id
+    FROM d0 d JOIN probe ON probe.doc_id = d.doc_id
     """,
 )
 def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
@@ -428,7 +429,9 @@ def dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
     join against the bit set; nothing corpus-sized ever shuffles. At
     10^12 docs this is THE pre-filter in front of exact dedup (only
     maybe_seen docs proceed to the hash equi-join)."""
-    d = load(spark, sf, "documents")
+    d = load(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))  # NULL text == '' (kernel contract)
+    )
     x = (
         F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
         % _BLOOM_P

@@ -83,7 +83,8 @@ def _with_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            {_PRESENCE} AS patterns_matched,
            {_OCCURS} AS total_hits
-    FROM documents
+    FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
+         documents
     """,
 )
 def ql_ac_match(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -315,7 +315,17 @@ def test_null_and_empty_text_oracle_parity(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
     )
-    for name in ("txt_quality_score", "ql_dsir_importance", "dedup_simhash"):
+    for name in (
+        "txt_quality_score", "ql_dsir_importance", "dedup_simhash",
+        # the round-5 NULL==''-policy cohort: every query the
+        # NULL-corpus sweep caught diverging (or crashing) when text is
+        # NULL/empty/whitespace-only
+        "ql_gopher_rules", "ql_keep_drop", "ql_c4_rules", "ql_langid",
+        "ql_perplexity", "ql_pii_scrub", "ql_toxicity_scrub",
+        "ql_ac_match", "ql_classifier_score", "ql_threshold_sweep",
+        "ql_boilerplate_scrub", "dedup_bloom", "udf_scalar_pandas",
+        "udf_iter_pandas", "scan_csv", "scan_warc",
+    ):
         got = qs[name](spark, str(d)).toPandas()
         want = con.execute(os_[name]).df()
         g = got.reindex(sorted(got.columns), axis=1).sort_values(
